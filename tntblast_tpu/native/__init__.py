@@ -1,0 +1,232 @@
+"""ctypes bindings for the native melt engine.
+
+The shared library is built on first import (g++ is part of the toolchain);
+rebuilds happen automatically when the source is newer than the binary.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from tntblast_tpu.thermo import build_tables
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "melt_engine.cpp")
+_LIB = os.path.join(_HERE, "libtntmelt.so")
+
+_i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+
+
+def _build():
+    cmd = [
+        "g++", "-O2", "-std=c++14", "-shared", "-fPIC", "-pthread",
+        # No -ffast-math: float semantics must be IEEE to match the
+        # reference numerics bit-for-bit.
+        _SRC, "-o", _LIB,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    if (not os.path.exists(_LIB)
+            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        _build()
+    lib = ctypes.CDLL(_LIB)
+
+    lib.tnt_engine_create.restype = ctypes.c_void_p
+    lib.tnt_engine_create.argtypes = (
+        [_f32p] * 11 + [ctypes.c_char_p, _f32p, _f32p, _f32p, _u8p]
+        + [ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_int,
+           ctypes.c_int, ctypes.c_int])
+    lib.tnt_engine_destroy.argtypes = [ctypes.c_void_p]
+    lib.tnt_engine_delta_g.argtypes = [ctypes.c_void_p, ctypes.c_float, _i32p]
+
+    lib.tnt_eval_batch.restype = ctypes.c_int64
+    lib.tnt_eval_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int64,
+        _u8p, _i64p, _i32p,          # queries
+        _u8p, _i64p, _i32p,          # targets
+        _f32p,                       # strand conc
+        _f32p, _f32p, _f32p, _f32p, _f32p,   # tm dH dS dg dp_dg
+        _i32p, _i32p,                # anchors
+        _i32p, _i32p, _i32p,         # num_mm num_gap max_degen
+        _i32p, _i32p,                # q_range t_range
+        _u8p,                        # valid
+        ctypes.c_char_p, _i64p, ctypes.c_int64,  # align buf
+        ctypes.c_int,
+    ]
+
+    lib.tnt_eval_alignment.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        _u8p, _u8p, _i64p, _i32p, _f32p,
+        _f32p, _f32p, _f32p, _u8p,
+    ]
+    return lib
+
+
+_lib = None
+
+
+def get_lib():
+    global _lib
+    if _lib is None:
+        _lib = _load()
+    return _lib
+
+
+HETERO, HOMO, HAIRPIN = 0, 1, 2
+
+# base codes used by the engine (match tntblast_tpu.constants BASE_*)
+_ASCII_TO_CODE = {}
+for _i, _c in enumerate("ACGTI$-MRSVWYHKDBN"):
+    _ASCII_TO_CODE[_c] = _i
+_ASCII_TO_CODE["E"] = 5  # synonym for the dangling-end virtual base
+
+
+def seq_to_codes(s):
+    return np.frombuffer(
+        bytes(_ASCII_TO_CODE[c.upper()] for c in s), dtype=np.uint8).copy()
+
+
+class MeltEngine:
+    """Handle on a native melt engine instance.
+
+    Parameters mirror the reference NucCruc configuration: temperature (K),
+    [Na+] (M), dangling-end flags and the Dinkelbach iteration switch.
+    """
+
+    def __init__(self, target_T=310.15, na=0.05, dangle5=False, dangle3=False,
+                 dinkelbach=False, n_threads=None, tables=None):
+        lib = get_lib()
+        t = tables if tables is not None else build_tables()
+        if n_threads is None:
+            n_threads = os.cpu_count() or 1
+
+        seqs = np.zeros((131, 8), dtype="S1")
+        packed = bytearray(131 * 8)
+        for i, name in enumerate(t.hairpin_special_names):
+            raw = name.encode()
+            packed[i * 8:i * 8 + len(raw)] = raw
+        del seqs
+
+        scalars = np.array([
+            t.param_init_H, t.param_init_S, t.param_AT_closing_H,
+            t.param_AT_closing_S, t.param_symmetry_S, t.param_SALT,
+            t.param_asymmetric_loop_dS, t.param_bulge_AT_closing_S,
+        ], dtype=np.float32)
+
+        def flat(a):
+            return np.ascontiguousarray(a, dtype=np.float32).reshape(-1)
+
+        self._tables = t
+        self.target_T = float(target_T)
+        self.na = float(na)
+        self.n_threads = n_threads
+        self._h = lib.tnt_engine_create(
+            flat(t.param_H), flat(t.param_S),
+            flat(t.param_loop_terminal_H), flat(t.param_loop_terminal_S),
+            flat(t.param_hairpin_terminal_H), flat(t.param_hairpin_terminal_S),
+            flat(t.param_loop_S), flat(t.param_bulge_S), flat(t.param_hairpin_S),
+            flat(t.param_hairpin_special_H), flat(t.param_hairpin_special_S),
+            bytes(packed),
+            flat(t.param_supp), flat(t.param_supp_salt), scalars,
+            np.ascontiguousarray(t.watson_and_crick, dtype=np.uint8),
+            np.float32(target_T), np.float32(na),
+            int(dangle5), int(dangle3), int(dinkelbach), int(n_threads))
+        self._lib = lib
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.tnt_engine_destroy(self._h)
+            self._h = None
+
+    def delta_g(self, target_T=None):
+        out = np.zeros(49 * 49, dtype=np.int32)
+        self._lib.tnt_engine_delta_g(
+            self._h, np.float32(self.target_T if target_T is None else target_T), out)
+        return out.reshape(49, 49)
+
+    def eval_batch(self, mode, queries, targets, strand_conc, n_threads=None):
+        """Evaluate a batch of melt problems.
+
+        queries/targets: lists of uint8 code arrays (targets ignored for
+        homodimer/hairpin modes); strand_conc: per-item total strand
+        concentration.  Returns a dict of result arrays plus the rendered
+        alignment strings.
+        """
+        n = len(queries)
+        if n == 0:
+            return None
+        if n_threads is None:
+            n_threads = self.n_threads
+
+        q_len = np.array([len(q) for q in queries], dtype=np.int32)
+        q_off = np.zeros(n, dtype=np.int64)
+        np.cumsum(q_len[:-1], out=q_off[1:])
+        q_data = (np.concatenate(queries).astype(np.uint8)
+                  if n else np.zeros(0, np.uint8))
+
+        if mode == HETERO:
+            t_len = np.array([len(t) for t in targets], dtype=np.int32)
+            t_off = np.zeros(n, dtype=np.int64)
+            np.cumsum(t_len[:-1], out=t_off[1:])
+            t_data = np.concatenate(targets).astype(np.uint8)
+        else:
+            t_len = np.zeros(n, dtype=np.int32)
+            t_off = np.zeros(n, dtype=np.int64)
+            t_data = np.zeros(1, dtype=np.uint8)
+
+        sc = np.ascontiguousarray(strand_conc, dtype=np.float32)
+
+        out = {k: np.zeros(n, dtype=np.float32)
+               for k in ("tm", "dH", "dS", "dg", "dp_dg")}
+        for k in ("anchor5", "anchor3", "num_mm", "num_gap", "max_degen"):
+            out[k] = np.zeros(n, dtype=np.int32)
+        out["q_range"] = np.zeros(2 * n, dtype=np.int32)
+        out["t_range"] = np.zeros(2 * n, dtype=np.int32)
+        out["valid"] = np.zeros(n, dtype=np.uint8)
+
+        align_off = np.zeros(n + 1, dtype=np.int64)
+        cap = max(4096, 512 * n)
+        while True:
+            buf = ctypes.create_string_buffer(cap)
+            need = self._lib.tnt_eval_batch(
+                self._h, mode, n,
+                q_data, q_off, q_len, t_data, t_off, t_len, sc,
+                out["tm"], out["dH"], out["dS"], out["dg"], out["dp_dg"],
+                out["anchor5"], out["anchor3"],
+                out["num_mm"], out["num_gap"], out["max_degen"],
+                out["q_range"], out["t_range"], out["valid"],
+                buf, align_off, cap, int(n_threads))
+            if need == 0:
+                break
+            cap = int(need)
+        raw = buf.raw
+        out["align"] = [
+            raw[align_off[k]:align_off[k + 1]].decode("latin1")
+            for k in range(n)]
+        out["q_range"] = out["q_range"].reshape(n, 2)
+        out["t_range"] = out["t_range"].reshape(n, 2)
+        return out
+
+    def eval_alignments(self, q_rows, t_rows, strand_conc):
+        """tm_from_align / tm_pm_duplex: evaluate explicit alignments."""
+        n = len(q_rows)
+        lens = np.array([len(q) for q in q_rows], dtype=np.int32)
+        off = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=off[1:])
+        qd = np.concatenate(q_rows).astype(np.uint8)
+        td = np.concatenate(t_rows).astype(np.uint8)
+        sc = np.ascontiguousarray(strand_conc, dtype=np.float32)
+        tm = np.zeros(n, dtype=np.float32)
+        dH = np.zeros(n, dtype=np.float32)
+        dS = np.zeros(n, dtype=np.float32)
+        ok = np.zeros(n, dtype=np.uint8)
+        self._lib.tnt_eval_alignment(self._h, n, qd, td, off, lens, sc,
+                                     tm, dH, dS, ok)
+        return tm, dH, dS, ok
