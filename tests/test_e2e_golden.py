@@ -1,0 +1,61 @@
+"""End-to-end golden parity: run the TPU framework CLI on every recorded
+reference configuration and require byte-identical output (file and
+terminal; only the wall-clock seconds line is normalized).
+
+Goldens were produced by the reference binary (jgans/thermonucleotideBLAST
+v2.77 built with plain make, OMP_NUM_THREADS=1); see
+tests/tools/gen_e2e_goldens.py.
+"""
+
+import io
+import pathlib
+import re
+import sys
+
+import pytest
+
+HERE = pathlib.Path(__file__).resolve().parent
+DATA = HERE / "data"
+GOLD = HERE / "golden" / "e2e"
+
+CONFIGS = sorted(p.stem for p in GOLD.glob("*.cmd"))
+
+
+def normalize_stdout(text, out_path):
+    text = re.sub(r"Search completed in \d+ sec", "Search completed in N sec",
+                  text)
+    # The recorded "Output = <path>" line carries the golden's absolute path
+    text = text.replace(str(out_path), "OUTPATH")
+    return text
+
+
+@pytest.mark.parametrize("name", CONFIGS)
+def test_golden_config(name, tmp_path, monkeypatch, capfd):
+    from tntblast_tpu import cli
+
+    args = (GOLD / f"{name}.cmd").read_text().split()
+    out_file = tmp_path / f"{name}.out"
+    args += ["-o", str(out_file)]
+
+    monkeypatch.chdir(DATA)
+    monkeypatch.setenv("TNTBLAST_TPU_THREADS", "1")
+
+    stdout = io.StringIO()
+    real_stdout = sys.stdout
+    sys.stdout = stdout
+    try:
+        print("Running on local machine [1 thread(s)]")
+        ret = cli.local_main(args, stdout=stdout)
+    finally:
+        sys.stdout = real_stdout
+    assert ret == 0, f"exit={ret}; stderr produced"
+
+    got_out = out_file.read_text() if out_file.exists() else ""
+    want_out = (GOLD / f"{name}.out").read_text()
+    assert got_out == want_out, f"output file mismatch for {name}"
+
+    golden_out_path = f"/root/repo/tests/golden/e2e/{name}.out"
+    got_stdout = normalize_stdout(stdout.getvalue(), str(out_file))
+    want_stdout = normalize_stdout(
+        (GOLD / f"{name}.stdout").read_text(), golden_out_path)
+    assert got_stdout == want_stdout, f"stdout mismatch for {name}"

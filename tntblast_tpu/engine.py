@@ -1,0 +1,321 @@
+"""Single-host search driver.
+
+Replicates the semantics (and, for verbose mode, the terminal output) of the
+reference OpenMP driver (reference: tntblast_local.cpp:25-852) with the
+batched native melt engine: the work-scheduling counters, fragment overlap
+and edge culling, per-hit secondary-structure Tms and the result
+accumulation order are all preserved so the final hit list is bit-identical.
+
+The TPU batch path plugs in underneath bind_oligo (all candidate windows of
+a fragment are evaluated in one batch); the control flow here is the
+host-side orchestration layer.
+"""
+
+import sys
+
+import numpy as np
+
+from tntblast_tpu import constants as C
+from tntblast_tpu import native
+from tntblast_tpu.io.fastx import SequenceDatabase, seq_len_increment
+from tntblast_tpu.search import seed
+from tntblast_tpu.search.assays import amplicon, hybrid, padlock
+from tntblast_tpu.search.bind import BindContext, MeltCaches
+
+
+def query_sched(num_target, num_query, num_worker, s_div_h, mode):
+    """Query segmentation decision (reference tntblast_util.cpp:1793-1844)."""
+    if mode == C.QUERY_SEGMENTATION_ON:
+        return True
+    if mode == C.QUERY_SEGMENTATION_OFF:
+        return False
+    if num_target == 0 or num_query == 0:
+        return False
+    if num_worker == 0:
+        raise ValueError("query_sched: m_num_worker == 0")
+    if num_worker == 1:
+        return False
+    cost_seg = float(num_target * min(num_query, num_worker)
+                     * (1.0 + s_div_h * max(1, num_query // num_worker))) \
+        / min(num_worker, num_target * num_query)
+    cost_no_seg = float(num_target * (1.0 + s_div_h * num_query)) \
+        / min(num_worker, num_target)
+    return cost_seg < cost_no_seg
+
+
+def probe_only_count(sig_list):
+    return sum(1 for s in sig_list if s.has_probe() and not s.has_primers())
+
+
+def _combine_ct(c_a, c_b):
+    """NucCruc::strand(c_a, c_b) (reference nuc_cruc.h:890-909)."""
+    a = np.float32(c_a)
+    b = np.float32(c_b)
+    if a > b:
+        return float(a - np.float32(0.5) * b)
+    return float(b - np.float32(0.5) * a)
+
+
+def compute_secondary_tms(engine, hits, opt):
+    """Per-hit hairpin/homodimer/heterodimer Tms
+    (reference tntblast_local.cpp:655-686)."""
+    hp_q, hp_ct, hp_set = [], [], []
+    ho_q, ho_ct, ho_set = [], [], []
+    he_q, he_t, he_ct, he_set = [], [], [], []
+
+    for h in hits:
+        if h.has_primers():
+            f = native.seq_to_codes(h.forward_oligo)
+            r = native.seq_to_codes(h.reverse_oligo)
+            fs = opt.forward_primer_strand
+            rs = opt.reverse_primer_strand
+            hp_q.append(f); hp_ct.append(_combine_ct(fs, fs))
+            hp_set.append((h, "forward_hairpin_tm"))
+            ho_q.append(f); ho_ct.append(_combine_ct(fs, fs))
+            ho_set.append((h, "forward_dimer_tm"))
+            hp_q.append(r); hp_ct.append(_combine_ct(rs, rs))
+            hp_set.append((h, "reverse_hairpin_tm"))
+            ho_q.append(r); ho_ct.append(_combine_ct(rs, rs))
+            ho_set.append((h, "reverse_dimer_tm"))
+            he_q.append(f); he_t.append(r)
+            he_ct.append(_combine_ct(fs, rs))
+            he_set.append((h, "primer_dimer_tm"))
+        if h.has_probe():
+            p = native.seq_to_codes(h.probe_oligo)
+            ps = opt.probe_strand
+            hp_q.append(p); hp_ct.append(_combine_ct(ps, ps))
+            hp_set.append((h, "probe_hairpin_tm"))
+            ho_q.append(p); ho_ct.append(_combine_ct(ps, ps))
+            ho_set.append((h, "probe_dimer_tm"))
+
+    if hp_q:
+        out = engine.eval_batch(native.HAIRPIN, hp_q, None,
+                                np.asarray(hp_ct, dtype=np.float32))
+        for k, (h, attr) in enumerate(hp_set):
+            setattr(h, attr, float(out["tm"][k]))
+    if ho_q:
+        out = engine.eval_batch(native.HOMO, ho_q, None,
+                                np.asarray(ho_ct, dtype=np.float32))
+        for k, (h, attr) in enumerate(ho_set):
+            setattr(h, attr, float(out["tm"][k]))
+    if he_q:
+        out = engine.eval_batch(native.HETERO, he_q, he_t,
+                                np.asarray(he_ct, dtype=np.float32))
+        for k, (h, attr) in enumerate(he_set):
+            setattr(h, attr, float(out["tm"][k]))
+
+
+class ProgressDisplay:
+    """Terminal %-progress (reference tntblast_local.cpp:275-278, 743-792,
+    854-875): fixed 15-char update buffer redrawn with backspaces."""
+
+    BUFFER = 15
+
+    def __init__(self, stream, enabled):
+        self.stream = stream
+        self.enabled = enabled
+        self.last = 0.0
+        self.every = 0.01
+        self.precision = 3
+
+    def start(self):
+        if not self.enabled:
+            return
+        self.stream.write("Searching database: " + " " * self.BUFFER)
+        self.stream.flush()
+
+    def _draw(self, text):
+        self.stream.write("\b" * self.BUFFER)
+        self.stream.write(text)
+        self.stream.write(" " * max(0, self.BUFFER - len(text)))
+        self.stream.flush()
+
+    def update(self, status, segment_queries):
+        if not self.enabled:
+            return
+        if status - self.last > self.every:
+            text = f"{100 * status:.{self.precision}g}%"
+            if segment_queries:
+                text += " [qs]"
+            self._draw(text)
+            self.last = status
+            if status > 0.9:
+                self.every, self.precision = 0.001, 4
+                if status > 0.99:
+                    self.every, self.precision = 0.0001, 5
+
+    def finish(self):
+        if not self.enabled:
+            return
+        self._draw("100%")
+        self.stream.write("\n")
+        self.stream.flush()
+
+
+class SearchState:
+    """Results of the search phase, consumed by the output layer."""
+
+    def __init__(self, num_sig):
+        self.search_results = [[] for _ in range(num_sig)]
+        self.query_matches = [False] * num_sig
+        self.fragment_target = False
+
+
+def run_search(opt, db: SequenceDatabase, engine, stdout=None):
+    """The reference work loop (tntblast_local.cpp:316-852), sequential.
+
+    Data parallelism over (target, fragment[, query]) work items maps to
+    the multi-host shard loop in parallel/; this function is the per-host
+    portion and must preserve the reference's iteration order exactly.
+    """
+    if stdout is None:
+        stdout = sys.stdout
+
+    num_sig = len(opt.sig_list)
+    num_seq = db.size()
+    num_probes = probe_only_count(opt.sig_list)
+    max_product_length = opt.max_product_length() + 2
+    effective_num_seq = db.effective_size(opt.fragment_target_threshold)
+    inverse_query = bool(opt.output_format & C.OUTPUT_INVERSE_QUERY)
+
+    state = SearchState(num_sig)
+    inv_total = 1.0 / (float(num_seq) * float(num_sig))
+
+    default_qt = C.DEFAULT_QT * (
+        num_probes * (2.0 if opt.target_strand == C.SEQ_STRAND_BOTH else 1.0)
+        + (num_sig - num_probes) * 4.0) / num_sig
+
+    total_qt, qt_count = 0.0, 0
+    num_worker = 1
+
+    segment_queries = query_sched(
+        effective_num_seq, num_sig, num_worker,
+        default_qt if qt_count == 0 else total_qt / qt_count,
+        opt.query_segmentation)
+    cur_query = 0 if segment_queries else num_sig
+
+    progress = ProgressDisplay(stdout, opt.verbose)
+    progress.start()
+
+    cur_target = 0
+    cur_target_len = db.approx_seq_len(cur_target)
+    cur_target_max_stop = cur_target_len - 1
+    cur_target_delta = seq_len_increment(
+        cur_target_len, opt.fragment_target_threshold)[0]
+    cur_target_start, cur_target_stop = 0, cur_target_delta
+
+    last_target = -1
+    last_target_start = 0
+    target_len = 0
+    ctx = None
+
+    while True:
+        local_target = cur_target
+        local_query = cur_query
+        local_target_start = cur_target_start
+        local_target_stop = cur_target_stop
+        local_target_max_stop = cur_target_max_stop
+
+        increment_target = False
+        if segment_queries:
+            cur_query += 1
+            if cur_query == num_sig:
+                increment_target = True
+                cur_query = 0
+        else:
+            increment_target = True
+            segment_queries = query_sched(
+                effective_num_seq, num_sig, num_worker,
+                default_qt if qt_count == 0 else total_qt / qt_count,
+                opt.query_segmentation)
+            if segment_queries:
+                cur_query = 0
+
+        if increment_target:
+            effective_num_seq -= 0 if effective_num_seq == 0 else 1
+            if cur_target_stop == cur_target_max_stop:
+                cur_target += 1
+                cur_target_len = db.approx_seq_len(cur_target)
+                cur_target_max_stop = cur_target_len - 1
+                cur_target_delta = seq_len_increment(
+                    cur_target_len, opt.fragment_target_threshold)[0]
+                cur_target_start, cur_target_stop = 0, cur_target_delta
+            else:
+                cur_target_start = cur_target_stop + 1
+                cur_target_stop = min(cur_target_stop + cur_target_delta,
+                                      cur_target_max_stop)
+                state.fragment_target = True
+
+        if local_target >= num_seq:
+            break
+
+        same_target = (last_target == local_target
+                       and last_target_start == local_target_start)
+        if not same_target:
+            defline, seq_codes = db.read(
+                local_target, local_target_start,
+                local_target_stop + max_product_length)
+            target_len = len(seq_codes)
+            if target_len < opt.hash_word_size:
+                # Too small to hash (reference tntblast_local.cpp:513-529)
+                last_target = -1
+                continue
+            frag = seed.FragmentIndex(seq_codes, opt.hash_word_size)
+            ctx = BindContext(engine, seq_codes, frag, MeltCaches(), defline)
+            last_target = local_target
+            last_target_start = local_target_start
+
+        single_query = local_query < num_sig
+        if not single_query:
+            local_query = 0
+
+        while True:
+            sig = opt.sig_list[local_query]
+            local_results = []
+            if sig.has_primers():
+                if opt.assay_format == C.ASSAY_PCR:
+                    local_results = amplicon(ctx, sig, opt)
+                elif opt.assay_format == C.ASSAY_PADLOCK:
+                    local_results = padlock(ctx, sig, opt, 0)
+                elif opt.assay_format == C.ASSAY_MIPS:
+                    local_results = padlock(ctx, sig, opt, opt.max_len)
+            elif sig.has_probe():
+                local_results = hybrid(ctx, sig, opt)
+
+            kept = []
+            for h in local_results:
+                # Fragment-edge culling (reference :637-648)
+                if local_target_start != 0 and h.start_overlap(0):
+                    continue
+                if (local_target_stop != local_target_max_stop
+                        and h.stop_overlap(target_len - 1)):
+                    continue
+                h.seq_index = local_target
+                h.offset_ranges(local_target_start)
+                kept.append(h)
+            compute_secondary_tms(engine, kept, opt)
+
+            local_query += 1
+            if inverse_query:
+                if kept:
+                    state.query_matches[sig.id] = True
+            else:
+                state.search_results[sig.id] = (
+                    kept + state.search_results[sig.id])
+            qt_count += 1 if local_query >= num_sig else 0
+
+            if single_query or local_query >= num_sig:
+                break
+
+        progress.update((local_target * num_sig + local_query) * inv_total,
+                        segment_queries)
+
+    progress.finish()
+    return state
+
+
+def make_melt_engine(opt, n_threads=None):
+    return native.MeltEngine(
+        target_T=opt.target_t, na=opt.salt,
+        dangle5=opt.allow_dangle_5, dangle3=opt.allow_dangle_3,
+        dinkelbach=opt.use_dinkelbach, n_threads=n_threads)
