@@ -1,8 +1,12 @@
 import os
 
 # Tests must run without TPU hardware: force the CPU backend with a virtual
-# 8-device mesh so multi-chip sharding paths compile and execute.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# 8-device mesh so multi-chip sharding paths compile and execute.  (The
+# session environment may preset JAX_PLATFORMS=axon — the tunneled TPU —
+# which makes every jit a slow network round-trip; tests always use CPU
+# unless explicitly opted in via TNTBLAST_TEST_TPU=1.)
+if not os.environ.get("TNTBLAST_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
