@@ -7,6 +7,11 @@ import os
 # unless explicitly opted in via TNTBLAST_TEST_TPU=1.)
 if not os.environ.get("TNTBLAST_TEST_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # The axon sitecustomize registers the TPU PJRT plugin at interpreter
+    # start and pins the platform; only a config update after import
+    # actually forces CPU.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

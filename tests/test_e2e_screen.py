@@ -1,0 +1,72 @@
+"""The device-DP screened pipeline must be bit-identical to the exact
+pipeline: the screen is a provably-conservative filter (see screen.py),
+so every golden config must produce the same output file with
+--tpu-screen T.  Also asserts the screen actually prunes work on
+configs with Tm thresholds."""
+
+import io
+import pathlib
+import sys
+
+import pytest
+
+HERE = pathlib.Path(__file__).resolve().parent
+DATA = HERE / "data"
+GOLD = HERE / "golden" / "e2e"
+
+# Subset covering all assay modes + fragmentation + degenerates; running
+# all 15 under jit-on-CPU is slow, these exercise every screen path.
+CONFIGS = ["probe_small", "probe_dg", "pcr_small", "pcr_lowtm", "taqman",
+           "degen", "padlock", "mips", "pcr_frag"]
+
+
+@pytest.mark.parametrize("name", CONFIGS)
+def test_screened_matches_golden(name, tmp_path, monkeypatch):
+    from tntblast_tpu import cli
+
+    args = (GOLD / f"{name}.cmd").read_text().split()
+    out_file = tmp_path / f"{name}.out"
+    args += ["-o", str(out_file), "--tpu-screen", "T", "-v", "F"]
+
+    monkeypatch.chdir(DATA)
+    stdout = io.StringIO()
+    ret = cli.local_main(args, stdout=stdout)
+    assert ret == 0
+    got = out_file.read_text() if out_file.exists() else ""
+    want = (GOLD / f"{name}.out").read_text()
+    assert got == want, f"screened output differs from golden for {name}"
+
+
+def test_screen_prunes_random_background(tmp_path, monkeypatch):
+    """With a 40C Tm threshold, most seeded windows on a random-sequence
+    background must be discarded on device (the fast path's speedup
+    depends on this; measured ~84% at slack=4)."""
+    import random
+
+    from tntblast_tpu import cli
+    from tntblast_tpu import screen as screen_mod
+
+    rng = random.Random(1)
+    db = tmp_path / "rand.fna"
+    db.write_text(">rand\n"
+                  + "".join(rng.choice("ACGT") for _ in range(100000)) + "\n")
+
+    stats = {}
+    orig_init = screen_mod.TpuScreen.__init__
+
+    def spy_init(self, *a, **k):
+        orig_init(self, *a, **k)
+        stats["obj"] = self
+
+    monkeypatch.setattr(screen_mod.TpuScreen, "__init__", spy_init)
+    monkeypatch.chdir(DATA)
+    out_file = tmp_path / "o.out"
+    ret = cli.local_main(
+        ["-i", "assay_pcr.txt", "-d", str(db), "-A", "PCR",
+         "-e", "40", "-E", "40", "-o", str(out_file),
+         "--tpu-screen", "T", "-v", "F"], stdout=io.StringIO())
+    assert ret == 0
+    s = stats["obj"].stats
+    total = s["screened"] + s["kept"]
+    assert total > 0
+    assert s["screened"] >= 0.6 * total, s

@@ -194,6 +194,12 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
         opt.query_segmentation)
     cur_query = 0 if segment_queries else num_sig
 
+    screen = None
+    if getattr(opt, "tpu_screen", False):
+        from tntblast_tpu.screen import TpuScreen
+        screen = TpuScreen(
+            engine, dangle=opt.allow_dangle_5 or opt.allow_dangle_3)
+
     progress = ProgressDisplay(stdout, opt.verbose)
     progress.start()
 
@@ -261,7 +267,8 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
                 last_target = -1
                 continue
             frag = seed.FragmentIndex(seq_codes, opt.hash_word_size)
-            ctx = BindContext(engine, seq_codes, frag, MeltCaches(), defline)
+            ctx = BindContext(engine, seq_codes, frag, MeltCaches(), defline,
+                              screen=screen)
             last_target = local_target
             last_target_start = local_target_start
 

@@ -87,6 +87,9 @@ class Options:
         self.hash_word_size = C.DEFAULT_HASH_WORD_SIZE
         self.fragment_target_threshold = C.DEFAULT_FRAGMENT_TARGET_LENGTH
         self.threshold_format = C.THRESHOLD_NONE
+        # TPU extension (not in the reference): batched device DP screening
+        # of candidate windows before exact evaluation
+        self.tpu_screen = False
 
     # ------------------------------------------------------------------
     def parse(self, argv):
@@ -101,7 +104,7 @@ class Options:
         "max-target-len=", "query-seg=", "dump-query=", "dangle5=",
         "dangle3=", "min-max-primer-clamp=", "dinkelbach=", "max-gap=",
         "max-mismatch=", "rescale-ct=", "best-match", "blast-include=",
-        "blast-exclude=", "max-poly-degen=",
+        "blast-exclude=", "max-poly-degen=", "tpu-screen=",
     ]
 
     def parse_command_line(self, argv):
@@ -240,6 +243,8 @@ class Options:
                 self.blast_exclude.append(arg)
             elif flag == "--max-poly-degen":
                 self.max_poly_degen = abs(int(arg))
+            elif flag == "--tpu-screen":
+                self.tpu_screen = self.parse_bool(arg)
 
     @staticmethod
     def parse_assay_format(opt):

@@ -86,12 +86,14 @@ class MeltCaches:
 class BindContext:
     """Everything needed to bind oligos against one target fragment."""
 
-    def __init__(self, engine, seq_codes, frag_index, caches, defline=""):
+    def __init__(self, engine, seq_codes, frag_index, caches, defline="",
+                 screen=None):
         self.engine = engine
         self.seq = seq_codes          # db codes (uint8) of the fragment
         self.frag = frag_index
         self.caches = caches
         self.defline = defline
+        self.screen = screen          # optional TpuScreen (device DP filter)
 
     def window_codes(self, start, stop, minus):
         w = self.seq[start:stop]
@@ -115,6 +117,10 @@ def _filter_and_fill(values, filt):
     """Apply the reference filter cascade to a cache value; return None if
     the entry is filtered out."""
     v = values
+    if not isinstance(v, dict):
+        # ScreenStub: the device screen proved this window cannot pass the
+        # current filter (coverage was re-checked during the miss pass)
+        return None
     if v["tm"] < filt["min_tm"] or v["tm"] > filt["max_tm"]:
         return None
     if v["dg"] < filt["min_dg"] or v["dg"] > filt["max_dg"]:
@@ -236,9 +242,28 @@ def bind_oligo(ctx, info_list, oligo, minus, strand_conc, filt,
     miss, seen = [], set()
     for kk in keys:
         ck = (oligo, kk[0], kk[1])
-        if ck not in cache and ck not in seen:
+        v = cache.get(ck)
+        if ck in seen:
+            continue
+        if v is None:
             seen.add(ck)
             miss.append(kk)
+        elif not isinstance(v, dict) and not v.covers(filt, strand_conc):
+            # ScreenStub proven against a different (stricter-elsewhere)
+            # filter: must re-examine under the current one
+            seen.add(ck)
+            miss.append(kk)
+
+    if miss and ctx.screen is not None:
+        win_codes = [ctx.window_codes(s, e, minus) for (s, e) in miss]
+        keep, ftm, fdg = ctx.screen.screen_windows(
+            oligo_codes, win_codes, filt, strand_conc)
+        for k, kk in enumerate(miss):
+            if not keep[k]:
+                cache[(oligo, kk[0], kk[1])] = ctx.screen.make_stub(
+                    filt, strand_conc, ftm[k], fdg[k])
+        miss = [kk for k, kk in enumerate(miss) if keep[k]]
+
     if miss:
         out = _evaluate_windows(ctx, oligo_codes, miss, minus, strand_conc)
         for k, (start, stop) in enumerate(miss):
