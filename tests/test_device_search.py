@@ -1,0 +1,122 @@
+"""Device full-fragment pipeline vs the host reference implementations:
+seed-diagonal sets must match exactly (including representative (k, t)
+pairs), and the screening verdicts must be conservative (never drop a
+window the exact engine would pass)."""
+
+import numpy as np
+import pytest
+
+from tntblast_tpu import constants as C
+from tntblast_tpu import native
+from tntblast_tpu.parallel.device_search import (
+    INT_MIN, DevicePanel, PanelConfig)
+from tntblast_tpu.search import seed
+
+
+def _mk_panel(oligos, word_len):
+    panel = []
+    for oligo, minus in oligos:
+        codes = C.ASCII_TO_MELT[np.frombuffer(oligo.encode(), np.uint8)]
+        words = seed.oligo_word_list(codes, word_len, complement=not minus)
+        panel.append({"words": words, "codes": codes, "minus": minus})
+    return panel
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return native.MeltEngine(n_threads=1)
+
+
+def test_device_seeds_match_host(engine):
+    rng = np.random.default_rng(3)
+    frag = rng.integers(0, 4, 30000).astype(np.uint8)
+    # sprinkle degenerate and unknown bases
+    for pos in rng.integers(0, 30000, 50):
+        frag[pos] = rng.integers(4, 18)
+
+    fwd = "TTGACCTAGATATTCAGCAAC"
+    rev = "GGGAGAGACTCACCCAAAGATC"
+    oligos = [(fwd, True), (fwd, False), (rev, True), (rev, False)]
+    w = 7
+
+    cfg = PanelConfig(word_len=w, num_os=4, max_words=16, wq_max=22,
+                      tile_len=32768, cap=512, num_cond=1)
+    dg = engine.delta_g().astype(np.int32).reshape(1, -1)
+    thr = np.full((1, 4), INT_MIN, dtype=np.int32)
+    panel = DevicePanel(_mk_panel(oligos, w), cfg, dg, thr)
+    out = panel.run_fragment(frag)
+    assert not out["overflow"]
+
+    host_frag = seed.FragmentIndex(frag, w)
+    for i, (oligo, minus) in enumerate(oligos):
+        codes = C.ASCII_TO_MELT[np.frombuffer(oligo.encode(), np.uint8)]
+        q, t = seed.find_seeds(host_frag, codes, complement=not minus)
+        q, t = seed.unique_diagonal_seeds(q, t)
+        sel = out["os_idx"] == i
+        dev_p = out["p"][sel]
+        dev_k = out["kmin"][sel]
+        # host order: ascending delta == descending p
+        host_p = (t - q)[::-1]
+        host_k = q[::-1]
+        np.testing.assert_array_equal(np.sort(dev_p), np.sort(host_p))
+        # representative = first occurrence = smallest word index
+        host_by_p = dict(zip(host_p, host_k))
+        for p, k in zip(dev_p, dev_k):
+            assert host_by_p[p] == k, (i, p, k, host_by_p[p])
+
+
+def test_device_screen_conservative(engine):
+    """Every window the exact engine reports above threshold must be kept
+    by the device verdict."""
+    rng = np.random.default_rng(4)
+    fwd = "TTGACCTAGATATTCAGCAAC"
+    frag_s = "".join(rng.choice(list("ACGT"), 60000))
+    # plant exact, 1-mm and 2-mm sites; "bind to minus strand" means the
+    # plus strand carries the oligo sequence itself
+    site = fwd
+    for pos, nmut in ((5000, 0), (15000, 1), (25000, 2), (35000, 3)):
+        s = list(site)
+        for _ in range(nmut):
+            q = rng.integers(0, len(s))
+            s[q] = rng.choice(list("ACGT"))
+        frag_s = frag_s[:pos] + "".join(s) + frag_s[pos + len(s):]
+    frag = C.ASCII_TO_DB[np.frombuffer(frag_s.encode(), np.uint8)]
+
+    w = 7
+    min_tm = 40.0
+    conc = 9e-7
+    from tntblast_tpu.screen import TpuScreen
+    scr = TpuScreen(engine, dangle=False)
+    conds = scr.conditions({"min_tm": min_tm, "max_dg": 0.0}, conc)
+    dg = np.stack([np.asarray(scr._dg_table(T)) for _, T, _ in conds])
+    thr = np.array([[ms] for _, _, ms in conds], dtype=np.int32)
+
+    cfg = PanelConfig(word_len=w, num_os=1, max_words=16, wq_max=21,
+                      tile_len=65536, cap=1024, num_cond=len(conds))
+    panel = DevicePanel(_mk_panel([(fwd, True)], w), cfg, dg, thr)
+    out = panel.run_fragment(frag)
+    assert not out["overflow"]
+
+    # exact evaluation of every candidate window
+    codes = C.ASCII_TO_MELT[np.frombuffer(fwd.encode(), np.uint8)]
+    comp_lut = C.DB_TO_MELT_COMPLEMENT
+    queries, targets = [], []
+    for p in out["p"]:
+        start = max(int(p) - 4, 0)
+        stop = min(start + len(fwd) + 8, len(frag))
+        wdb = frag[start:stop]
+        m = comp_lut[wdb][::-1]
+        targets.append(m[m != 255])
+        queries.append(codes)
+    res = engine.eval_batch(native.HETERO, queries, targets,
+                            np.full(len(queries), conc, dtype=np.float32))
+    passes = (res["tm"] >= min_tm)
+    kept = out["keep"]
+    # conservative: every exact pass is kept
+    assert np.all(kept[passes]), np.nonzero(passes & ~kept)
+    # and useful: most exact-failures are dropped
+    n_fail = int((~passes).sum())
+    if n_fail > 20:
+        assert (~kept & ~passes).sum() >= 0.5 * n_fail
+    # the planted sites are among the kept
+    assert passes.sum() >= 3

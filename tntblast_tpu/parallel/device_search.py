@@ -1,0 +1,229 @@
+"""Full-fragment device search step — the TPU-native inner loop.
+
+One device call per target fragment performs, for ALL oligos of the assay
+panel at once:
+
+  1. k-mer word computation over the fragment (2-bit rolling words,
+     non-ATGC bases break words — reference seq_hash.h:441-445 semantics),
+  2. seed-diagonal detection for every (oligo, strand): diagonal p carries
+     a seed iff some compacted oligo word k matches the target word at
+     p + k; the representative hit is the smallest such k (the reference's
+     first-occurrence-per-diagonal dedup, bind_oligo.cpp:33-47),
+  3. fixed-capacity compaction of seed diagonals,
+  4. candidate window gather (start = max(p-4, 0), width oligo_len+8,
+     minus-strand windows complemented and reversed —
+     bind_oligo.cpp:136-254),
+  5. the batched thermodynamic DP (ops/thermo_dp.py) at each screening
+     temperature, producing a conservative keep/discard verdict per
+     window (see screen.py for the proof).
+
+The host then runs the exact native engine only on kept windows; all
+list-building, culling and pairing semantics stay host-side and
+bit-identical.  Compared to per-bind-call screening this amortizes device
+launch/compile overhead over the whole fragment x panel — the difference
+between a dead-slow and a fast TPU path when the device sits behind an
+RPC tunnel.
+
+Multi-chip: the fragment/tile axis is the data-parallel axis (the
+reference's "database segmentation", tntblast_local.cpp:318-324); oligos
+and tables are replicated.  parallel/mesh.py wraps this step in shard_map
+over a jax Mesh.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tntblast_tpu import constants as C
+from tntblast_tpu.ops.thermo_dp import dp_max_score
+
+INT_MIN = -(1 << 31) + 1
+
+
+class PanelConfig:
+    """Static (compile-time) shape configuration for a run."""
+
+    def __init__(self, word_len, num_os, max_words, wq_max, tile_len,
+                 cap, num_cond):
+        self.word_len = int(word_len)
+        self.num_os = int(num_os)          # oligo-strand slots (padded)
+        self.max_words = int(max_words)    # compacted word-list capacity
+        self.wq_max = int(wq_max)
+        self.wt = int(wq_max) + 2 * C.NUM_FLANK_BASE
+        self.tile_len = int(tile_len)      # fragment buffer length (padded)
+        self.cap = int(cap)                # candidate capacity per call
+        self.num_cond = int(num_cond)
+
+    def key(self):
+        return (self.word_len, self.num_os, self.max_words, self.wq_max,
+                self.tile_len, self.cap, self.num_cond)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("word_len", "num_os", "max_words", "wq_max", "wt",
+                     "tile_len", "cap", "num_cond"))
+def _fragment_step(frag_codes, frag_len,
+                   oligo_words, oligo_num_words, oligo_codes, oligo_len,
+                   oligo_minus, thresholds, dg_tables,
+                   *, word_len, num_os, max_words, wq_max, wt, tile_len,
+                   cap, num_cond):
+    """Device kernel: seeds + windows + screening DP for one fragment.
+
+    frag_codes:      (tile_len,) uint8 db codes, padded with DB_UNKNOWN
+    frag_len:        () int32 true fragment length
+    oligo_words:     (num_os, max_words) int32 compacted word values (-1 pad)
+    oligo_num_words: (num_os,) int32
+    oligo_codes:     (num_os, wq_max) int32 melt codes of the oligo
+    oligo_len:       (num_os,) int32
+    oligo_minus:     (num_os,) bool — window extraction orientation
+    thresholds:      (num_cond, num_os) int32 min DP score (INT_MIN = off)
+    dg_tables:       (num_cond, 2401) int32
+
+    Returns (os_idx, p, kmin, keep, needs_host, valid, counts):
+      os_idx/p/kmin/keep/needs_host/valid: (cap,) candidate arrays in
+      (oligo-strand-major, p-ascending) order; counts: (num_os,) true
+      seed-diagonal counts (host falls back when counts > per-call space).
+    """
+    w = word_len
+    L = tile_len
+    nw_pos = L - w + 1
+    codes = frag_codes.astype(jnp.int32)
+
+    # --- target words -----------------------------------------------------
+    two_bit = codes & 3
+    valid_base = (codes <= C.DB_MAX_ATGC) & (jnp.arange(L) < frag_len)
+    word = jnp.zeros(nw_pos, dtype=jnp.int32)
+    for k in range(w):
+        word = word | (two_bit[k:nw_pos + k] << (2 * (w - 1 - k)))
+    vc = jnp.cumsum(jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), valid_base.astype(jnp.int32)]))
+    word_valid = (vc[w:] - vc[:-w]) == w
+    # word at t covers bases [t, t+w-1]; valid target positions
+    t_in_range = jnp.arange(nw_pos) < (frag_len - w + 1)
+    word_valid = word_valid & t_in_range
+
+    # --- seed diagonals ---------------------------------------------------
+    # diagonal index space: p in [-(max_words-1), L) -> idx = p + max_words
+    PL = L + max_words
+    seeds = jnp.zeros((num_os, PL), dtype=bool)
+    kmin = jnp.full((num_os, PL), max_words, dtype=jnp.int32)
+    for k in range(max_words):
+        ow = oligo_words[:, k]                       # (num_os,)
+        active = (ow >= 0)
+        m = word_valid[None, :] & (word[None, :] == ow[:, None]) \
+            & active[:, None]                        # (num_os, nw_pos)
+        # place at p_idx = t + max_words - k
+        off = max_words - k
+        mk = jnp.zeros((num_os, PL), dtype=bool)
+        mk = mk.at[:, off:off + nw_pos].set(m)
+        newly = mk & ~seeds
+        kmin = jnp.where(newly, k, kmin)
+        seeds = seeds | mk
+
+    counts = seeds.sum(axis=1).astype(jnp.int32)
+
+    # --- compaction -------------------------------------------------------
+    flat = seeds.reshape(-1)
+    (cand_idx,) = jnp.nonzero(flat, size=cap, fill_value=num_os * PL)
+    valid = cand_idx < num_os * PL
+    os_idx = jnp.where(valid, cand_idx // PL, 0)
+    p = jnp.where(valid, cand_idx % PL - max_words, 0)
+    cand_kmin = jnp.where(valid, kmin.reshape(-1)[
+        jnp.clip(cand_idx, 0, num_os * PL - 1)], 0)
+
+    # --- window gather ----------------------------------------------------
+    ol = oligo_len[os_idx]                           # (cap,)
+    start = jnp.maximum(p - C.NUM_FLANK_BASE, 0)
+    target_length = ol + 2 * C.NUM_FLANK_BASE
+    stop = jnp.minimum(start + target_length, frag_len)  # exclusive
+    t_len = jnp.maximum(stop - start, 0)
+
+    minus = oligo_minus[os_idx]
+    j = jnp.arange(wt)[None, :]                      # (1, wt)
+    idx_plus = start[:, None] + j
+    idx_minus = stop[:, None] - 1 - j
+    idx = jnp.where(minus[:, None], idx_minus, idx_plus)
+    idx_c = jnp.clip(idx, 0, L - 1)
+    wcodes = codes[idx_c]                            # db codes (cap, wt)
+
+    plus_lut = jnp.asarray(C.DB_TO_MELT_PLUS.astype(np.int32))
+    comp_lut = jnp.asarray(C.DB_TO_MELT_COMPLEMENT.astype(np.int32))
+    melt = jnp.where(minus[:, None], comp_lut[jnp.clip(wcodes, 0, 17)],
+                     plus_lut[jnp.clip(wcodes, 0, 17)])
+    in_win = j < t_len[:, None]
+    # bases the fast path cannot represent (DB_GAP / DB_UNKNOWN drop and
+    # shift the window in the reference) -> host fallback
+    needs_host = jnp.any(in_win & (wcodes >= C.DB_GAP), axis=1)
+    tcodes = jnp.where(in_win, melt, 0).astype(jnp.int32)
+
+    qcodes = oligo_codes[os_idx]                     # (cap, wq_max)
+    qlen = ol
+
+    # --- screening DP per condition --------------------------------------
+    keep = jnp.ones(cap, dtype=bool)
+    for c in range(num_cond):
+        score = dp_max_score(qcodes, qlen, tcodes, t_len, dg_tables[c],
+                             wq=wq_max, wt=wt)
+        thr = thresholds[c][os_idx]
+        keep = keep & ((score >= thr) | (thr == INT_MIN))
+
+    keep = keep | needs_host  # unrepresentable windows go to the host path
+    return os_idx, p, cand_kmin, keep, needs_host, valid, counts
+
+
+class DevicePanel:
+    """Host-side wrapper: packs an oligo panel once, runs fragments."""
+
+    def __init__(self, panel, config, dg_tables, thresholds):
+        """panel: list of dicts with keys
+             words (int64[], compacted, scan order), codes (uint8[] melt),
+             minus (bool)
+           dg_tables: (num_cond, 2401) int32
+           thresholds: (num_cond, len(panel)) int32 (INT_MIN = condition off)
+        """
+        cfg = config
+        self.config = cfg
+        self.n_real = len(panel)
+        ow = np.full((cfg.num_os, cfg.max_words), -1, dtype=np.int32)
+        on = np.zeros(cfg.num_os, dtype=np.int32)
+        oc = np.zeros((cfg.num_os, cfg.wq_max), dtype=np.int32)
+        olen = np.zeros(cfg.num_os, dtype=np.int32)
+        om = np.zeros(cfg.num_os, dtype=bool)
+        for i, o in enumerate(panel):
+            nw = len(o["words"])
+            ow[i, :nw] = o["words"]
+            on[i] = nw
+            oc[i, :len(o["codes"])] = o["codes"]
+            olen[i] = len(o["codes"])
+            om[i] = o["minus"]
+        thr = np.full((cfg.num_cond, cfg.num_os), INT_MIN, dtype=np.int32)
+        thr[:, :self.n_real] = thresholds
+        self.args = (jnp.asarray(ow), jnp.asarray(on), jnp.asarray(oc),
+                     jnp.asarray(olen), jnp.asarray(om), jnp.asarray(thr),
+                     jnp.asarray(dg_tables.astype(np.int32)))
+
+    def run_fragment(self, frag_codes):
+        cfg = self.config
+        L = len(frag_codes)
+        if L > cfg.tile_len:
+            raise ValueError("fragment exceeds tile_len")
+        buf = np.full(cfg.tile_len, C.DB_UNKNOWN, dtype=np.uint8)
+        buf[:L] = frag_codes
+        out = _fragment_step(
+            jnp.asarray(buf), jnp.int32(L), *self.args,
+            word_len=cfg.word_len, num_os=cfg.num_os,
+            max_words=cfg.max_words, wq_max=cfg.wq_max, wt=cfg.wt,
+            tile_len=cfg.tile_len, cap=cfg.cap, num_cond=cfg.num_cond)
+        os_idx, p, kmin, keep, needs_host, valid, counts = map(np.asarray,
+                                                               out)
+        n = int(valid.sum())
+        return {
+            "os_idx": os_idx[:n], "p": p[:n], "kmin": kmin[:n],
+            "keep": keep[:n], "needs_host": needs_host[:n],
+            "counts": counts[:self.n_real],
+            "overflow": bool(counts[:self.n_real].sum() > n),
+        }
