@@ -65,6 +65,40 @@ def test_device_seeds_match_host(engine):
             assert host_by_p[p] == k, (i, p, k, host_by_p[p])
 
 
+def test_mesh_panel_matches_single_device(engine):
+    """Sharding fragments over an 8-device mesh must reproduce the
+    single-device fragment step exactly (same candidates, same verdicts),
+    including inert padding fragments."""
+    import jax
+    from tntblast_tpu.parallel.mesh import MeshPanel, make_mesh
+
+    rng = np.random.default_rng(7)
+    frags = [rng.integers(0, 4, rng.integers(2000, 12000)).astype(np.uint8)
+             for _ in range(11)]  # 11 -> padded to 16 on 8 devices
+
+    fwd = "TTGACCTAGATATTCAGCAAC"
+    rev = "GGGAGAGACTCACCCAAAGATC"
+    oligos = [(fwd, True), (fwd, False), (rev, True), (rev, False)]
+    w = 7
+
+    cfg = PanelConfig(word_len=w, num_os=4, max_words=16, wq_max=22,
+                      tile_len=16384, cap=512, num_cond=1)
+    dg = engine.delta_g().astype(np.int32).reshape(1, -1)
+    thr = np.full((1, 4), INT_MIN, dtype=np.int32)
+
+    mesh = make_mesh(jax.devices())
+    assert mesh.devices.size == 8
+    mp = MeshPanel(_mk_panel(oligos, w), cfg, dg, thr, mesh=mesh)
+    sp = DevicePanel(_mk_panel(oligos, w), cfg, dg, thr)
+
+    mesh_out = mp.run_fragments(frags)
+    for frag, mo in zip(frags, mesh_out):
+        so = sp.run_fragment(frag)
+        for key in ("os_idx", "p", "kmin", "keep", "needs_host", "counts"):
+            np.testing.assert_array_equal(mo[key], so[key], err_msg=key)
+        assert mo["overflow"] == so["overflow"]
+
+
 def test_device_screen_conservative(engine):
     """Every window the exact engine reports above threshold must be kept
     by the device verdict."""

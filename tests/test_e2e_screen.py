@@ -20,13 +20,14 @@ CONFIGS = ["probe_small", "probe_dg", "pcr_small", "pcr_lowtm", "taqman",
            "degen", "padlock", "mips", "pcr_frag"]
 
 
+@pytest.mark.parametrize("mode", ["--tpu-screen", "--tpu-frag"])
 @pytest.mark.parametrize("name", CONFIGS)
-def test_screened_matches_golden(name, tmp_path, monkeypatch):
+def test_screened_matches_golden(name, mode, tmp_path, monkeypatch):
     from tntblast_tpu import cli
 
     args = (GOLD / f"{name}.cmd").read_text().split()
     out_file = tmp_path / f"{name}.out"
-    args += ["-o", str(out_file), "--tpu-screen", "T", "-v", "F"]
+    args += ["-o", str(out_file), mode, "T", "-v", "F"]
 
     monkeypatch.chdir(DATA)
     stdout = io.StringIO()

@@ -195,7 +195,11 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
     cur_query = 0 if segment_queries else num_sig
 
     screen = None
-    if getattr(opt, "tpu_screen", False):
+    panel_mgr = None
+    if getattr(opt, "tpu_frag", False):
+        from tntblast_tpu.parallel.panel import FragmentPanelManager
+        panel_mgr = FragmentPanelManager(opt, engine)
+    elif getattr(opt, "tpu_screen", False):
         from tntblast_tpu.screen import TpuScreen
         screen = TpuScreen(
             engine, dangle=opt.allow_dangle_5 or opt.allow_dangle_3)
@@ -266,9 +270,11 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
                 # Too small to hash (reference tntblast_local.cpp:513-529)
                 last_target = -1
                 continue
-            frag = seed.FragmentIndex(seq_codes, opt.hash_word_size)
-            ctx = BindContext(engine, seq_codes, frag, MeltCaches(), defline,
-                              screen=screen)
+            panel_seeds = (panel_mgr.run_fragment(seq_codes)
+                           if panel_mgr is not None else None)
+            ctx = BindContext(engine, seq_codes, opt.hash_word_size,
+                              MeltCaches(), defline, screen=screen,
+                              panel_seeds=panel_seeds)
             last_target = local_target
             last_target_start = local_target_start
 

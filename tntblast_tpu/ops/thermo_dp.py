@@ -24,6 +24,9 @@ table (rebuilt per temperature, reference nuc_cruc.cpp:340-487) into seven
 
 import functools
 
+from tntblast_tpu.jaxconf import configure as _jaxconf
+_jaxconf()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -90,6 +90,7 @@ class Options:
         # TPU extension (not in the reference): batched device DP screening
         # of candidate windows before exact evaluation
         self.tpu_screen = False
+        self.tpu_frag = False
 
     # ------------------------------------------------------------------
     def parse(self, argv):
@@ -104,7 +105,7 @@ class Options:
         "max-target-len=", "query-seg=", "dump-query=", "dangle5=",
         "dangle3=", "min-max-primer-clamp=", "dinkelbach=", "max-gap=",
         "max-mismatch=", "rescale-ct=", "best-match", "blast-include=",
-        "blast-exclude=", "max-poly-degen=", "tpu-screen=",
+        "blast-exclude=", "max-poly-degen=", "tpu-screen=", "tpu-frag=",
     ]
 
     def parse_command_line(self, argv):
@@ -245,6 +246,8 @@ class Options:
                 self.max_poly_degen = abs(int(arg))
             elif flag == "--tpu-screen":
                 self.tpu_screen = self.parse_bool(arg)
+            elif flag == "--tpu-frag":
+                self.tpu_frag = self.parse_bool(arg)
 
     @staticmethod
     def parse_assay_format(opt):

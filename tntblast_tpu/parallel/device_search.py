@@ -34,6 +34,9 @@ import functools
 
 import numpy as np
 
+from tntblast_tpu.jaxconf import configure as _jaxconf
+_jaxconf()
+
 import jax
 import jax.numpy as jnp
 
@@ -46,6 +49,9 @@ INT_MIN = -(1 << 31) + 1
 class PanelConfig:
     """Static (compile-time) shape configuration for a run."""
 
+    # windows per DP launch: bounds the (chunk, wq, wt) energy tensors
+    DP_CHUNK = 2048
+
     def __init__(self, word_len, num_os, max_words, wq_max, tile_len,
                  cap, num_cond):
         self.word_len = int(word_len)
@@ -54,7 +60,10 @@ class PanelConfig:
         self.wq_max = int(wq_max)
         self.wt = int(wq_max) + 2 * C.NUM_FLANK_BASE
         self.tile_len = int(tile_len)      # fragment buffer length (padded)
-        self.cap = int(cap)                # candidate capacity per call
+        cap = int(cap)
+        if cap > self.DP_CHUNK:            # chunked DP needs even division
+            cap = -(-cap // self.DP_CHUNK) * self.DP_CHUNK
+        self.cap = cap                     # candidate capacity per call
         self.num_cond = int(num_cond)
 
     def key(self):
@@ -62,15 +71,11 @@ class PanelConfig:
                 self.tile_len, self.cap, self.num_cond)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("word_len", "num_os", "max_words", "wq_max", "wt",
-                     "tile_len", "cap", "num_cond"))
-def _fragment_step(frag_codes, frag_len,
-                   oligo_words, oligo_num_words, oligo_codes, oligo_len,
-                   oligo_minus, thresholds, dg_tables,
-                   *, word_len, num_os, max_words, wq_max, wt, tile_len,
-                   cap, num_cond):
+def fragment_step_core(frag_codes, frag_len,
+                       oligo_words, oligo_num_words, oligo_codes, oligo_len,
+                       oligo_minus, thresholds, dg_tables,
+                       *, word_len, num_os, max_words, wq_max, wt, tile_len,
+                       cap, num_cond):
     """Device kernel: seeds + windows + screening DP for one fragment.
 
     frag_codes:      (tile_len,) uint8 db codes, padded with DB_UNKNOWN
@@ -163,16 +168,36 @@ def _fragment_step(frag_codes, frag_len,
     qcodes = oligo_codes[os_idx]                     # (cap, wq_max)
     qlen = ol
 
-    # --- screening DP per condition --------------------------------------
-    keep = jnp.ones(cap, dtype=bool)
-    for c in range(num_cond):
-        score = dp_max_score(qcodes, qlen, tcodes, t_len, dg_tables[c],
-                             wq=wq_max, wt=wt)
-        thr = thresholds[c][os_idx]
-        keep = keep & ((score >= thr) | (thr == INT_MIN))
+    # --- screening DP per condition (chunked to bound memory) ------------
+    thr_cand = thresholds[:, os_idx]                 # (num_cond, cap)
+    ch = min(cap, PanelConfig.DP_CHUNK)
+    nch = cap // ch
+
+    def chunk_keep(xs):
+        qc, ql_c, tc, tl_c, thr = xs
+        k = jnp.ones(ch, dtype=bool)
+        for c in range(num_cond):
+            score = dp_max_score(qc, ql_c, tc, tl_c, dg_tables[c],
+                                 wq=wq_max, wt=wt)
+            k = k & ((score >= thr[c]) | (thr[c] == INT_MIN))
+        return k
+
+    xs = (qcodes.reshape(nch, ch, wq_max), qlen.reshape(nch, ch),
+          tcodes.reshape(nch, ch, wt), t_len.reshape(nch, ch),
+          jnp.swapaxes(thr_cand.reshape(num_cond, nch, ch), 0, 1))
+    if nch == 1:
+        keep = chunk_keep(jax.tree.map(lambda x: x[0], xs))
+    else:
+        keep = jax.lax.map(chunk_keep, xs).reshape(cap)
 
     keep = keep | needs_host  # unrepresentable windows go to the host path
     return os_idx, p, cand_kmin, keep, needs_host, valid, counts
+
+
+_fragment_step = jax.jit(
+    fragment_step_core,
+    static_argnames=("word_len", "num_os", "max_words", "wq_max", "wt",
+                     "tile_len", "cap", "num_cond"))
 
 
 class DevicePanel:

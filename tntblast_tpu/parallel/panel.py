@@ -1,0 +1,201 @@
+"""Host-side manager for the full-fragment device search.
+
+Maps the expanded assay list onto device "oligo-strand slots" (one slot per
+unique (oligo, strand, screen-filter, concentration) tuple), packs them
+into DevicePanel groups, and runs the fragment step once per (fragment,
+group).  The outputs become pre-screened seed lists consumed by the host
+bind/pair layer (search/bind.py) in place of its own hash lookups — in
+exactly the reference's seed order (ascending diagonal delta, smallest
+word index as representative; reference bind_oligo.cpp:33-47), so the
+downstream pipeline stays bit-identical.
+
+Dropping a screened-out candidate before `cull_oligo_match`/`bind_oligo`
+is sound: the device verdict is provably conservative (screen.py), i.e. a
+dropped window can never pass the Tm/dG filter, so it could never appear
+in a bound-oligo list nor enable any primer/probe pairing.  Culling and
+dedup therefore see a subset that yields the identical final hit list.
+"""
+
+import numpy as np
+
+from tntblast_tpu import constants as C
+from tntblast_tpu.screen import TpuScreen
+from tntblast_tpu.search import seed
+from tntblast_tpu.parallel.device_search import (
+    INT_MIN, DevicePanel, PanelConfig)
+
+MAX_SLOTS = 64          # slots per device panel group
+MAX_CAP = 1 << 17       # candidate capacity ceiling per call
+
+
+def slot_key(oligo, minus, filt, conc):
+    return (oligo, bool(minus), float(filt["min_tm"]),
+            float(filt["max_dg"]), float(conc))
+
+
+def primer_filt_of(opt):
+    return dict(min_tm=opt.min_primer_tm, max_dg=opt.max_primer_dg)
+
+
+def probe_filt_of(opt):
+    return dict(min_tm=opt.min_probe_tm, max_dg=opt.max_probe_dg)
+
+
+def collect_slots(opt):
+    """Every (oligo, strand, filter, conc) the search will seed, deduped.
+
+    Mirrors the call sites in search/assays.py (which mirror
+    amplicon_search.cpp / probe_search.cpp / padlock_search.cpp).
+    """
+    slots = {}
+
+    def add(oligo, minus, filt, conc):
+        if not oligo:
+            return
+        k = slot_key(oligo, minus, filt, conc)
+        if k not in slots:
+            slots[k] = dict(oligo=oligo, minus=bool(minus), filt=dict(filt),
+                            conc=float(conc))
+
+    pf = primer_filt_of(opt)
+    bf = probe_filt_of(opt)
+    strands = []
+    if opt.target_strand & C.SEQ_STRAND_MINUS:
+        strands.append(True)
+    if opt.target_strand & C.SEQ_STRAND_PLUS:
+        strands.append(False)
+
+    for sig in opt.sig_list:
+        if sig.has_primers():
+            fconc = opt.forward_primer_strand / sig.forward_degen
+            rconc = opt.reverse_primer_strand / sig.reverse_degen
+            if opt.assay_format == C.ASSAY_PCR:
+                for minus in (True, False):
+                    add(sig.forward_oligo, minus, pf, fconc)
+                    add(sig.reverse_oligo, minus, pf, rconc)
+                if sig.has_probe():
+                    pconc = opt.probe_strand / sig.probe_degen
+                    for minus in (True, False):
+                        add(sig.probe_oligo, minus, bf, pconc)
+            elif opt.assay_format in (C.ASSAY_PADLOCK, C.ASSAY_MIPS):
+                for minus in strands:
+                    add(sig.reverse_oligo, minus, bf, rconc)
+                    add(sig.forward_oligo, minus, bf, fconc)
+        elif sig.has_probe():
+            pconc = opt.probe_strand / sig.probe_degen
+            for minus in strands:
+                add(sig.probe_oligo, minus, bf, pconc)
+    return list(slots.items())
+
+
+class PanelGroup:
+    """<= MAX_SLOTS slots sharing one set of screening conditions."""
+
+    def __init__(self, items, screen, word_len):
+        self.keys = [k for k, _ in items]
+        self.slots = [v for _, v in items]
+        self.word_len = word_len
+        self.screen = screen
+
+        self.panel = []
+        cond_ts = []
+        per_slot_conds = []
+        for s in self.slots:
+            codes = C.ASCII_TO_MELT[
+                np.frombuffer(s["oligo"].encode(), np.uint8)]
+            words = seed.oligo_word_list(codes, word_len,
+                                         complement=not s["minus"])
+            self.panel.append(
+                {"words": words, "codes": codes, "minus": s["minus"]})
+            conds = screen.conditions(s["filt"], s["conc"])
+            per_slot_conds.append(conds)
+            for _, T, _ in conds:
+                t = round(float(T), 4)
+                if t not in cond_ts:
+                    cond_ts.append(t)
+
+        self.cond_ts = cond_ts
+        n = len(self.slots)
+        self.thresholds = np.full((max(len(cond_ts), 1), n), INT_MIN,
+                                  dtype=np.int32)
+        for i, conds in enumerate(per_slot_conds):
+            for _, T, ms in conds:
+                self.thresholds[cond_ts.index(round(float(T), 4)), i] = ms
+        self.dg_tables = (
+            np.stack([np.asarray(screen._dg_table(t)) for t in cond_ts])
+            if cond_ts else
+            np.zeros((1, 49 * 49), dtype=np.int32))
+
+        self.wq_max = max(len(p["codes"]) for p in self.panel)
+        self.max_words = max(max((len(p["words"]) for p in self.panel),
+                                 default=1), 1)
+        self.num_os = -(-n // 8) * 8
+        self._panels = {}   # tile_len -> DevicePanel
+
+    def device_panel(self, tile_len):
+        dp = self._panels.get(tile_len)
+        if dp is None:
+            exp_per_slot = max(
+                128, 3 * tile_len * self.max_words // 4 ** self.word_len)
+            cap = min(MAX_CAP, self.num_os * exp_per_slot)
+            cfg = PanelConfig(
+                word_len=self.word_len, num_os=self.num_os,
+                max_words=self.max_words, wq_max=self.wq_max,
+                tile_len=tile_len, cap=cap,
+                num_cond=max(len(self.cond_ts), 1))
+            dp = DevicePanel(self.panel, cfg, self.dg_tables,
+                             self.thresholds)
+            self._panels[tile_len] = dp
+        return dp
+
+
+class FragmentPanelManager:
+    """Runs the device panel for each fragment; yields pre-screened seeds."""
+
+    MIN_TILE = 1 << 14
+
+    def __init__(self, opt, engine):
+        self.screen = TpuScreen(
+            engine, dangle=opt.allow_dangle_5 or opt.allow_dangle_3)
+        self.word_len = opt.hash_word_size
+        items = collect_slots(opt)
+        self.groups = [
+            PanelGroup(items[i:i + MAX_SLOTS], self.screen, self.word_len)
+            for i in range(0, len(items), MAX_SLOTS)]
+        self.stats = {"fragments": 0, "seeds": 0, "kept": 0, "fallback": 0}
+
+    def _tile_len(self, n):
+        t = self.MIN_TILE
+        while t < n:
+            t <<= 1
+        return t
+
+    def run_fragment(self, frag_codes):
+        """dict slot_key -> (q_off, t_pos) kept seeds in reference order.
+
+        Slots of a group that overflowed the candidate capacity are left
+        out of the dict — the caller falls back to host seeding for them.
+        """
+        tile = self._tile_len(len(frag_codes))
+        out = {}
+        self.stats["fragments"] += 1
+        for g in self.groups:
+            dp = g.device_panel(tile)
+            res = dp.run_fragment(frag_codes)
+            if res["overflow"]:
+                self.stats["fallback"] += 1
+                continue
+            os_idx = res["os_idx"]
+            keep = res["keep"]
+            p = res["p"].astype(np.int64)
+            kmin = res["kmin"].astype(np.int64)
+            self.stats["seeds"] += len(p)
+            self.stats["kept"] += int(keep.sum())
+            for i, key in enumerate(g.keys):
+                sel = (os_idx == i) & keep
+                # device order is ascending p; host order is ascending
+                # delta = -p (reference sort_by_delta)
+                q = kmin[sel][::-1]
+                t = (p[sel] + kmin[sel])[::-1]
+                out[key] = (q, t)
+        return out

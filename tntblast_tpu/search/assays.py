@@ -106,30 +106,41 @@ def amplicon(ctx, sig: Assay, opt):
     sig_list = []
     match_list = []
 
-    match_oligo(match_list, ctx.frag, sig.forward_oligo, F, minus=True)
-    match_oligo(match_list, ctx.frag, sig.reverse_oligo, R, minus=True)
-    num_minus = len(match_list)
-    if num_minus == 0:
-        return sig_list
-    match_oligo(match_list, ctx.frag, sig.forward_oligo, F, minus=False)
-    match_oligo(match_list, ctx.frag, sig.reverse_oligo, R, minus=False)
-    if len(match_list) == num_minus:
-        return sig_list
-    num_plus = len(match_list)
-    if sig.has_probe():
-        match_oligo(match_list, ctx.frag, sig.probe_oligo, P, minus=True)
-        match_oligo(match_list, ctx.frag, sig.probe_oligo, P, minus=False)
-        if len(match_list) == num_plus:
-            return sig_list
-
-    match_list, strand_count = cull_oligo_match(
-        match_list, opt.max_len, sig.has_probe(), opt.single_primer_pcr)
-
     primer_filt = dict(min_tm=opt.min_primer_tm, max_tm=opt.max_primer_tm,
                        min_dg=opt.min_primer_dg, max_dg=opt.max_primer_dg,
                        clamp_5=0, clamp_3=opt.primer_clamp,
                        max_mm=opt.max_mismatch, max_gap=opt.max_gap,
                        max_poly_degen=opt.max_poly_degen)
+    probe_filt = dict(min_tm=opt.min_probe_tm, max_tm=opt.max_probe_tm,
+                      min_dg=opt.min_probe_dg, max_dg=opt.max_probe_dg,
+                      clamp_5=opt.probe_clamp_5, clamp_3=opt.probe_clamp_3,
+                      max_mm=opt.max_mismatch, max_gap=opt.max_gap,
+                      max_poly_degen=opt.max_poly_degen)
+
+    match_oligo(match_list, ctx, sig.forward_oligo, F, True,
+                primer_filt, fconc)
+    match_oligo(match_list, ctx, sig.reverse_oligo, R, True,
+                primer_filt, rconc)
+    num_minus = len(match_list)
+    if num_minus == 0:
+        return sig_list
+    match_oligo(match_list, ctx, sig.forward_oligo, F, False,
+                primer_filt, fconc)
+    match_oligo(match_list, ctx, sig.reverse_oligo, R, False,
+                primer_filt, rconc)
+    if len(match_list) == num_minus:
+        return sig_list
+    num_plus = len(match_list)
+    if sig.has_probe():
+        match_oligo(match_list, ctx, sig.probe_oligo, P, True,
+                    probe_filt, pconc)
+        match_oligo(match_list, ctx, sig.probe_oligo, P, False,
+                    probe_filt, pconc)
+        if len(match_list) == num_plus:
+            return sig_list
+
+    match_list, strand_count = cull_oligo_match(
+        match_list, opt.max_len, sig.has_probe(), opt.single_primer_pcr)
 
     def bind(oligo, mask, conc, minus):
         nonlocal match_list
@@ -160,11 +171,6 @@ def amplicon(ctx, sig: Assay, opt):
             match_list, opt.max_len, sig.has_probe(), opt.single_primer_pcr)
         if not match_list:
             return sig_list
-        probe_filt = dict(min_tm=opt.min_probe_tm, max_tm=opt.max_probe_tm,
-                          min_dg=opt.min_probe_dg, max_dg=opt.max_probe_dg,
-                          clamp_5=opt.probe_clamp_5, clamp_3=opt.probe_clamp_3,
-                          max_mm=opt.max_mismatch, max_gap=opt.max_gap,
-                          max_poly_degen=opt.max_poly_degen)
         match_list = bind_oligo(ctx, match_list, sig.probe_oligo, True, pconc,
                                 probe_filt, oligo_mask=P)
         match_list = bind_oligo(ctx, match_list, sig.probe_oligo, False, pconc,

@@ -64,11 +64,10 @@ def bound_match_less(a, b):
     return a.tm > b.tm
 
 
-def match_oligo(info_list, frag, oligo, mask, minus):
-    """match_oligo_to_{minus,plus}_strand: append unique-diagonal seed hits."""
-    codes = C.ASCII_TO_MELT[np.frombuffer(oligo.encode(), dtype=np.uint8)]
-    q_off, t_pos = seed.find_seeds(frag, codes, complement=not minus)
-    q_off, t_pos = seed.unique_diagonal_seeds(q_off, t_pos)
+def match_oligo(info_list, ctx, oligo, mask, minus, filt, conc):
+    """match_oligo_to_{minus,plus}_strand: append unique-diagonal seed hits
+    (pre-screened on device when a fragment panel ran)."""
+    q_off, t_pos = ctx.seeds_for(oligo, minus, filt, conc)
     strand = MINUS_STRAND if minus else PLUS_STRAND
     for q, t in zip(q_off, t_pos):
         info_list.append(OligoInfo(int(q), int(t), mask | strand))
@@ -86,14 +85,38 @@ class MeltCaches:
 class BindContext:
     """Everything needed to bind oligos against one target fragment."""
 
-    def __init__(self, engine, seq_codes, frag_index, caches, defline="",
-                 screen=None):
+    def __init__(self, engine, seq_codes, word_len, caches, defline="",
+                 screen=None, panel_seeds=None):
         self.engine = engine
         self.seq = seq_codes          # db codes (uint8) of the fragment
-        self.frag = frag_index
+        self.word_len = word_len
+        self._frag = None             # lazy host k-mer index (fallback path)
         self.caches = caches
         self.defline = defline
         self.screen = screen          # optional TpuScreen (device DP filter)
+        self.panel_seeds = panel_seeds  # slot_key -> (q, t) device seeds
+
+    @property
+    def frag(self):
+        if self._frag is None:
+            self._frag = seed.FragmentIndex(self.seq, self.word_len)
+        return self._frag
+
+    def seeds_for(self, oligo, minus, filt, conc):
+        """Unique-diagonal seed list for one oligo-strand, in reference
+        order.  Uses the device panel's pre-screened seeds when available
+        (see parallel/panel.py for the soundness argument)."""
+        if self.panel_seeds is not None:
+            key = (oligo, bool(minus), float(filt["min_tm"]),
+                   float(filt["max_dg"]), float(conc))
+            got = self.panel_seeds.get(key)
+            if got is not None:
+                return got
+        codes = C.ASCII_TO_MELT[np.frombuffer(oligo.encode(),
+                                              dtype=np.uint8)]
+        q_off, t_pos = seed.find_seeds(self.frag, codes,
+                                       complement=not minus)
+        return seed.unique_diagonal_seeds(q_off, t_pos)
 
     def window_codes(self, start, stop, minus):
         w = self.seq[start:stop]
@@ -214,9 +237,7 @@ def bind_oligo(ctx, info_list, oligo, minus, strand_conc, filt,
     cache = (ctx.caches.minus if minus else ctx.caches.plus) if use_cache else {}
 
     if oligo_mask is None:
-        codes = oligo_codes
-        q_off, t_pos = seed.find_seeds(ctx.frag, codes, complement=not minus)
-        q_off, t_pos = seed.unique_diagonal_seeds(q_off, t_pos)
+        q_off, t_pos = ctx.seeds_for(oligo, minus, filt, strand_conc)
         entries = [OligoInfo(int(q), int(t)) for q, t in zip(q_off, t_pos)]
         keep_rest = []
         direct = True
