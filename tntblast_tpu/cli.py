@@ -10,7 +10,7 @@ import time
 from tntblast_tpu import constants as C
 from tntblast_tpu import engine as eng
 from tntblast_tpu import output as out
-from tntblast_tpu.io.fastx import SequenceDatabase
+from tntblast_tpu.io.fastx import open_database
 from tntblast_tpu.model import (
     read_input_file, expand_degenerate_signatures, multiplex_expansion)
 from tntblast_tpu.options import Options, OptionsError
@@ -81,7 +81,7 @@ def local_main(argv, stdout=None):
         dbname = opt.dbase_filename or opt.local_dbase_filename
         if opt.verbose:
             stdout.write(f"Reading sequence database: {dbname}\n")
-        db = SequenceDatabase(dbname)
+        db = open_database(dbname)
 
         num_seq = db.size()
         if num_seq == 0:

@@ -39,6 +39,51 @@ def _is_gzip(path):
         return fh.read(2) == b"\x1f\x8b"
 
 
+def file_type(path):
+    """Auto-detect FASTA / FASTQ / GBK / EMBL from the first 511 bytes
+    (reference annotation.cpp:296-380)."""
+    if _is_gzip(path):
+        with gzip.open(path, "rb") as fh:
+            head = fh.read(511)
+    else:
+        with open(path, "rb") as fh:
+            head = fh.read(511)
+    text = head.decode("latin1")
+
+    gbk_hint = False
+    first = None
+    for ch in text:
+        if ch.isspace():
+            continue
+        if first is None:
+            first = ch
+        if ch == ">":
+            return "FASTA"
+        if ch.isupper():
+            gbk_hint = True
+    if first is None:
+        raise ValueError("file_type: empty file")
+    if first == "@":
+        return "FASTQ"
+    if "LOCUS" in text and "DEFINITION" in text:
+        return "GBK"
+    if gbk_hint:
+        if text.lstrip().startswith("ID") or "\nFT" in text:
+            return "EMBL"
+        return "GBK"
+    raise ValueError("file_type: unable to determine file type")
+
+
+def open_database(path):
+    """sequence_data::open (reference sequence_data.cpp:28-267) — pick the
+    reader by detected format."""
+    fmt = file_type(path)
+    if fmt in ("FASTA", "FASTQ"):
+        return SequenceDatabase(path)
+    from tntblast_tpu.io.annot import AnnotatedDatabase
+    return AnnotatedDatabase(path, fmt)
+
+
 class SequenceDatabase:
     """FASTA/FASTQ database with byte-offset record index.
 
