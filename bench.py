@@ -1,0 +1,95 @@
+"""Benchmark driver: end-to-end PCR search throughput on one chip.
+
+Runs the standard benchmark config (bench_data.py: 8 Mb synthetic genome,
+10-assay PCR panel, planted amplicons) through the full engine — the same
+work the reference binary does — and prints ONE JSON line:
+
+    {"metric": "pcr_search_throughput", "value": <Mbases/s>,
+     "unit": "Mbases/s", "vs_baseline": <ratio>}
+
+Baseline: the reference tntblast binary (v2.77, plain `make`, OpenMP),
+measured on the dev box (see BASELINE.md "Measured CPU baseline"):
+3.412 Mb/s at 1 thread, 6.439 Mb/s at 2 threads (94% scaling), projected
+to the BASELINE.json 32-core-node target at 32 x 0.94 x 3.412 =
+102.6 Mb/s. vs_baseline is measured-TPU-throughput / 102.6.
+
+The run is checked for correctness before timing counts: the hit list must
+contain the expected number of planted amplicon records.
+"""
+
+import contextlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import bench_data
+
+# Reference binary, 1 CPU thread, measured on the dev box (BASELINE.md).
+REF_MBPS_1CORE = 3.412
+REF_SCALING = 0.94          # observed 1->2 core efficiency
+REF_MBPS_32CORE = REF_MBPS_1CORE * 32 * REF_SCALING   # 102.6 Mb/s
+
+GENOME_MB = (bench_data.NSEQ * bench_data.SEQLEN) / 1e6
+MIN_EXPECTED_HITS = bench_data.NPLANT * bench_data.PLANTS_PER_SEQ * bench_data.NSEQ
+
+
+def run():
+    here = os.path.dirname(os.path.abspath(__file__))
+    work = os.path.join(here, "bench_work")
+    fna, panel = bench_data.build(work)
+    out_path = os.path.join(work, "bench_out.txt")
+
+    from tntblast_tpu.cli import local_main
+
+    argv = ["-i", panel, "-d", fna, "-A", "PCR",
+            "-e", "40", "-E", "45", "-l", "2000", "-o", out_path]
+
+    # Warmup: tiny slice to trigger native build + XLA compile outside the
+    # timed region (compiles are cached by shape; the real run reuses them).
+    warm_fna = os.path.join(work, "warm.fna")
+    if not os.path.exists(warm_fna):
+        with open(fna) as src, open(warm_fna, "w") as dst:
+            for i, line in enumerate(src):
+                if i >= 800:        # ~56 kb
+                    break
+                dst.write(line)
+    devnull = open(os.devnull, "w")
+    with contextlib.redirect_stdout(devnull):
+        local_main(["-i", panel, "-d", warm_fna, "-A", "PCR", "-e", "40",
+                    "-E", "45", "-l", "2000",
+                    "-o", os.path.join(work, "warm_out.txt")], stdout=devnull)
+
+        t0 = time.time()
+        rc = local_main(argv, stdout=devnull)
+        dt = time.time() - t0
+    if rc != 0:
+        print(json.dumps({"metric": "pcr_search_throughput", "value": 0.0,
+                          "unit": "Mbases/s", "vs_baseline": 0.0,
+                          "error": f"engine exit code {rc}"}))
+        return 1
+
+    n_hits = 0
+    with open(out_path) as fh:
+        for line in fh:
+            if line.startswith("name = "):
+                n_hits += 1
+    if n_hits < MIN_EXPECTED_HITS:
+        print(json.dumps({"metric": "pcr_search_throughput", "value": 0.0,
+                          "unit": "Mbases/s", "vs_baseline": 0.0,
+                          "error": f"only {n_hits} hits; expected >= "
+                                   f"{MIN_EXPECTED_HITS} (broken engine?)"}))
+        return 1
+
+    mbps = GENOME_MB / dt
+    print(json.dumps({"metric": "pcr_search_throughput",
+                      "value": round(mbps, 3),
+                      "unit": "Mbases/s",
+                      "vs_baseline": round(mbps / REF_MBPS_32CORE, 4)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run())
