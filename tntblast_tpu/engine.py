@@ -21,6 +21,7 @@ from tntblast_tpu.io.fastx import SequenceDatabase, seq_len_increment
 from tntblast_tpu.search import seed
 from tntblast_tpu.search.assays import amplicon, hybrid, padlock
 from tntblast_tpu.search.bind import BindContext, MeltCaches
+from tntblast_tpu.search.native_assays import NativeFragContext, search_assay
 
 
 def query_sched(num_target, num_query, num_worker, s_div_h, mode):
@@ -270,11 +271,18 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
                 # Too small to hash (reference tntblast_local.cpp:513-529)
                 last_target = -1
                 continue
-            panel_seeds = (panel_mgr.run_fragment(seq_codes)
-                           if panel_mgr is not None else None)
-            ctx = BindContext(engine, seq_codes, opt.hash_word_size,
-                              MeltCaches(), defline, screen=screen,
-                              panel_seeds=panel_seeds)
+            if ctx is not None and isinstance(ctx, NativeFragContext):
+                ctx.close()
+            if panel_mgr is None and screen is None:
+                # default fast path: native per-fragment search
+                ctx = NativeFragContext(engine, seq_codes,
+                                        opt.hash_word_size, defline)
+            else:
+                panel_seeds = (panel_mgr.run_fragment(seq_codes)
+                               if panel_mgr is not None else None)
+                ctx = BindContext(engine, seq_codes, opt.hash_word_size,
+                                  MeltCaches(), defline, screen=screen,
+                                  panel_seeds=panel_seeds)
             last_target = local_target
             last_target_start = local_target_start
 
@@ -285,7 +293,9 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
         while True:
             sig = opt.sig_list[local_query]
             local_results = []
-            if sig.has_primers():
+            if isinstance(ctx, NativeFragContext):
+                local_results = search_assay(ctx, sig, opt)
+            elif sig.has_primers():
                 if opt.assay_format == C.ASSAY_PCR:
                     local_results = amplicon(ctx, sig, opt)
                 elif opt.assay_format == C.ASSAY_PADLOCK:

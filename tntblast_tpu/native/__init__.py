@@ -13,7 +13,8 @@ import numpy as np
 from tntblast_tpu.thermo import build_tables
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "melt_engine.cpp")
+_SRC = os.path.join(_HERE, "frag_search.cpp")   # #includes melt_engine.cpp
+_SRC_MELT = os.path.join(_HERE, "melt_engine.cpp")
 _LIB = os.path.join(_HERE, "libtntmelt.so")
 
 _i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
@@ -24,9 +25,10 @@ _u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
 
 def _build():
     cmd = [
-        "g++", "-O2", "-std=c++14", "-shared", "-fPIC", "-pthread",
+        "g++", "-O3", "-std=c++14", "-shared", "-fPIC", "-pthread",
         # No -ffast-math: float semantics must be IEEE to match the
-        # reference numerics bit-for-bit.
+        # reference numerics bit-for-bit. (-march=native measured slower
+        # here than plain -O3 — AVX512 downclocking/I-cache bloat.)
         _SRC, "-o", _LIB,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
@@ -34,7 +36,8 @@ def _build():
 
 def _load():
     if (not os.path.exists(_LIB)
-            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC_MELT)):
         _build()
     lib = ctypes.CDLL(_LIB)
 
@@ -66,6 +69,22 @@ def _load():
         _u8p, _u8p, _i64p, _i32p, _f32p,
         _f32p, _f32p, _f32p, _u8p,
     ]
+
+    lib.tnt_frag_create.restype = ctypes.c_void_p
+    lib.tnt_frag_create.argtypes = [
+        ctypes.c_void_p, _u8p, ctypes.c_int64, ctypes.c_int]
+    lib.tnt_frag_destroy.argtypes = [ctypes.c_void_p]
+    lib.tnt_frag_search.restype = ctypes.c_int64
+    lib.tnt_frag_search.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        _u8p, ctypes.c_int, _u8p, ctypes.c_int, _u8p, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        _f32p, _f32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.tnt_frag_align_bytes.restype = ctypes.c_int64
+    lib.tnt_frag_align_bytes.argtypes = [ctypes.c_void_p]
+    lib.tnt_frag_fetch.argtypes = [
+        ctypes.c_void_p, _i32p, _f32p, ctypes.c_char_p, _i64p]
     return lib
 
 
@@ -214,6 +233,10 @@ class MeltEngine:
         out["t_range"] = out["t_range"].reshape(n, 2)
         return out
 
+    def frag_search(self, seq_codes, word_len):
+        """Native per-fragment search context (see frag_search.cpp)."""
+        return FragSearch(self, seq_codes, word_len)
+
     def eval_alignments(self, q_rows, t_rows, strand_conc):
         """tm_from_align / tm_pm_duplex: evaluate explicit alignments."""
         n = len(q_rows)
@@ -230,3 +253,75 @@ class MeltEngine:
         self._lib.tnt_eval_alignment(self._h, n, qd, td, off, lens, sc,
                                      tm, dH, dS, ok)
         return tm, dH, dS, ok
+
+
+_EMPTY_U8 = np.zeros(0, dtype=np.uint8)
+
+# Hit flag bits (frag_search.cpp HitFlags)
+HF_PRIMER_PLUS = 1
+HF_SWAP_F = 2
+HF_SWAP_R = 4
+HF_HAS_PROBE = 8
+HF_PROBE_PLUS = 16
+HF_HAS_PRIMERS = 32
+
+
+class FragSearch:
+    """Native fragment search context: k-mer index + melt caches over one
+    target fragment; one `search` call per assay (frag_search.cpp)."""
+
+    def __init__(self, engine, seq_codes, word_len):
+        self._engine = engine              # keep alive
+        self._lib = engine._lib
+        seq = np.ascontiguousarray(seq_codes, dtype=np.uint8)
+        self._h = self._lib.tnt_frag_create(
+            engine._h, seq, len(seq), int(word_len))
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.tnt_frag_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+    def search(self, assay_format, f_codes, r_codes, p_codes,
+               fconc, rconc, pconc, primer_filt, probe_filt,
+               max_len, single_primer_pcr, min_max_primer_clamp,
+               target_strand):
+        """Run one assay; returns (ints[n,13], floats[n,9], aligns[3n])
+        or None when there are no hits (see tnt_frag_fetch layout)."""
+
+        def filt9(f):
+            return np.array([f["min_tm"], f["max_tm"], f["min_dg"],
+                             f["max_dg"], f["clamp_5"], f["clamp_3"],
+                             f["max_mm"], f["max_gap"],
+                             f["max_poly_degen"]], dtype=np.float32)
+
+        fc = (np.ascontiguousarray(f_codes, dtype=np.uint8)
+              if f_codes is not None else _EMPTY_U8)
+        rc = (np.ascontiguousarray(r_codes, dtype=np.uint8)
+              if r_codes is not None else _EMPTY_U8)
+        pc = (np.ascontiguousarray(p_codes, dtype=np.uint8)
+              if p_codes is not None else _EMPTY_U8)
+
+        n = self._lib.tnt_frag_search(
+            self._h, int(assay_format),
+            fc, len(fc), rc, len(rc), pc, len(pc),
+            np.float32(fconc), np.float32(rconc), np.float32(pconc),
+            filt9(primer_filt), filt9(probe_filt),
+            int(max_len), int(single_primer_pcr),
+            int(min_max_primer_clamp), int(target_strand))
+        if n == 0:
+            return None
+        ab = self._lib.tnt_frag_align_bytes(self._h)
+        ints = np.zeros((n, 13), dtype=np.int32)
+        floats = np.zeros((n, 9), dtype=np.float32)
+        off = np.zeros(3 * n + 1, dtype=np.int64)
+        buf = ctypes.create_string_buffer(int(ab))
+        self._lib.tnt_frag_fetch(self._h, ints.reshape(-1),
+                                 floats.reshape(-1), buf, off)
+        raw = buf.raw
+        aligns = [raw[off[i]:off[i + 1]].decode("latin1")
+                  for i in range(3 * n)]
+        return ints, floats, aligns

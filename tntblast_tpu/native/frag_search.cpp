@@ -1,0 +1,908 @@
+// Fragment-level assay search: the host-side hot loop.
+//
+// Implements, natively, the per-(fragment, assay) search pipeline the
+// Python layer orchestrates: k-mer seeding (reference seq_hash.h),
+// unique-diagonal dedup + candidate window evaluation with per-fragment
+// melt caches (reference bind_oligo.cpp), seed culling and PCR/TaqMan
+// pairing (reference amplicon_search.cpp), hybridization probe search
+// (reference probe_search.cpp) and padlock/MIPS ligation pairing
+// (reference padlock_search.cpp).
+//
+// Ordering contracts: the reference keeps oligo_info records in
+// std::list and sorts with std::list::sort under comparators that are
+// not all strict weak orders (sort_by_oligo_loc switches keys between
+// bound and unbound entries, amplicon_search.cpp:12-26).  This file is
+// compiled with libstdc++, so std::list::sort IS the reference
+// algorithm — hit order is reproduced by construction.
+//
+// This translation unit #includes melt_engine.cpp (anonymous-namespace
+// internals are shared); the build compiles only this file.
+
+#include "melt_engine.cpp"
+
+#include <list>
+#include <unordered_map>
+#include <algorithm>
+#include <cstdint>
+
+namespace {
+
+// mask bits (reference tntblast.h:147-154)
+enum { OM_F = 1, OM_R = 2, OM_P = 4,
+       OM_PLUS = 8, OM_MINUS = 16, OM_VALID = 32 };
+
+constexpr int NUM_FLANK_BASE_C = 4;   // reference tntblast.h:76
+constexpr int DB_MAX_ATGC_C = 3;      // A,C,G,T db codes (seq.h:12-16)
+
+// db code -> melt code, plus strand / complement (constants.py maps;
+// reference bind_oligo.cpp:187-254). 255 = dropped (gap/unknown).
+static const uint8_t DB2MELT_PLUS[18] = {
+    0, 1, 2, 3, 4,          // A C G T I
+    7, 8, 9, 10, 11,        // M R S V W
+    12, 13, 14, 15, 16, 17, // Y H K D B N
+    255, 255};
+static const uint8_t DB2MELT_COMP[18] = {
+    3, 2, 1, 0, 4,          // T G C A I
+    14, 12, 9, 16, 11,      // K Y S B W
+    8, 15, 7, 13, 10, 17,   // R D M H V N
+    255, 255};
+
+struct OligoInfoC {
+    int loc_5 = 0, loc_3 = 0;
+    float tm = -1.0f, dH = -1.0f, dS = -1.0f;
+    unsigned anchor_5 = 0, anchor_3 = 0, num_mm = 0, num_gap = 0;
+    std::string alignment;
+    unsigned query_loc = 0, target_loc = 0;
+    unsigned char mask = 0;
+
+    OligoInfoC() = default;
+    OligoInfoC(unsigned q, unsigned t, unsigned char m)
+        : query_loc(q), target_loc(t), mask(m) {}
+};
+
+// oligo_info::operator< (reference tntblast.h:230-242)
+inline bool bound_less(const OligoInfoC& a, const OligoInfoC& b)
+{
+    if (a.loc_5 != b.loc_5) return a.loc_5 < b.loc_5;
+    if (a.loc_3 != b.loc_3) return a.loc_3 < b.loc_3;
+    return a.tm > b.tm;
+}
+
+// sort_by_bound_match (reference bind_oligo.cpp:49-82)
+inline bool bound_match_less(const OligoInfoC& a, const OligoInfoC& b)
+{
+    if (a.loc_5 != b.loc_5) return a.loc_5 < b.loc_5;
+    if (a.loc_3 != b.loc_3) return a.loc_3 < b.loc_3;
+    if (a.tm == b.tm) {
+        if (a.num_mm == b.num_mm)
+            return a.alignment.size() > b.alignment.size();
+        return a.num_mm > b.num_mm;
+    }
+    return a.tm > b.tm;
+}
+
+// sort_by_oligo_loc (reference amplicon_search.cpp:12-26)
+inline bool oligo_loc_less(const OligoInfoC& a, const OligoInfoC& b)
+{
+    if ((a.loc_5 + a.loc_3) == 0 || (b.loc_5 + b.loc_3) == 0)
+        return a.target_loc < b.target_loc;
+    if (a.loc_5 == b.loc_5) return a.loc_3 < b.loc_3;
+    return a.loc_5 < b.loc_5;
+}
+
+// ---------------------------------------------------------------------------
+// Seeding (reference seq_hash.h; semantics mirrored from search/seed.py)
+
+struct FragIndex {
+    int word_len = 0;
+    int64_t n = 0;                       // fragment length (db codes)
+    const uint8_t* seq = nullptr;
+    std::vector<int64_t> bucket_start;   // 4^w + 1
+    std::vector<int64_t> pos_by_word;    // positions grouped by word, asc
+    bool built = false;
+
+    void build()
+    {
+        if (built) return;
+        built = true;
+        const int w = word_len;
+        const int64_t nbuckets = (int64_t)1 << (2 * w);
+        bucket_start.assign(nbuckets + 1, 0);
+        if (n < w) return;
+
+        // valid word at p iff bases [p, p+w-1] are all A/C/G/T
+        std::vector<int64_t> words(n - w + 1);
+        std::vector<uint8_t> ok(n - w + 1, 0);
+        int run = 0;
+        int64_t word = 0;
+        const int64_t mask = nbuckets - 1;
+        for (int64_t i = 0; i < n; ++i) {
+            const int b = seq[i];
+            if (b <= DB_MAX_ATGC_C) {
+                word = ((word << 2) | b) & mask;
+                ++run;
+            } else {
+                run = 0;
+            }
+            if (i >= w - 1 && run >= w) {
+                words[i - w + 1] = word;
+                ok[i - w + 1] = 1;
+            }
+        }
+        for (int64_t p = 0; p + w <= n; ++p)
+            if (ok[p]) ++bucket_start[words[p] + 1];
+        for (int64_t b = 0; b < nbuckets; ++b)
+            bucket_start[b + 1] += bucket_start[b];
+        pos_by_word.resize(bucket_start[nbuckets]);
+        std::vector<int64_t> fill(bucket_start.begin(),
+                                  bucket_start.end() - 1);
+        for (int64_t p = 0; p + w <= n; ++p)
+            if (ok[p]) pos_by_word[fill[words[p]]++] = p;
+    }
+};
+
+// Oligo word list in reference scan order (search/seed.py oligo_word_list):
+// plus = 5'->3' scan, complement = 3'->5' complemented scan.
+static void oligo_word_list(const std::vector<uint8_t>& codes, int w,
+                            bool complement, std::vector<int64_t>& out)
+{
+    out.clear();
+    const int64_t mask = ((int64_t)1 << (2 * w)) - 1;
+    uint64_t word = 0;
+    int run = 0;
+    const int n = (int)codes.size();
+    if (complement) {
+        for (int i = n - 1; i >= 0; --i) {
+            const int b = codes[i];
+            if (b <= DB_MAX_ATGC_C) {
+                word = ((word << 2) | (unsigned)(3 - b)) & 0xFFFFFFFFu;
+                ++run;
+            } else run = 0;
+            if (run >= w) out.push_back((int64_t)(word & (uint64_t)mask));
+        }
+    } else {
+        for (int i = 0; i < n; ++i) {
+            const int b = codes[i];
+            if (b <= DB_MAX_ATGC_C) {
+                word = ((word << 2) | (unsigned)b) & 0xFFFFFFFFu;
+                ++run;
+            } else run = 0;
+            if (run >= w) out.push_back((int64_t)(word & (uint64_t)mask));
+        }
+    }
+}
+
+// find_seeds + unique_diagonal_seeds (search/seed.py:102-141): first hit in
+// (word k asc, target pos asc) iteration order per diagonal delta=k-pos,
+// representatives sorted by delta ascending.
+static void unique_diagonal_seeds(FragIndex& fi,
+                                  const std::vector<uint8_t>& oligo_codes,
+                                  bool complement,
+                                  std::vector<std::pair<int64_t, int64_t>>& out)
+{
+    out.clear();
+    fi.build();
+    std::vector<int64_t> words;
+    oligo_word_list(oligo_codes, fi.word_len, complement, words);
+    if (words.empty()) return;
+
+    std::vector<std::pair<int64_t, int64_t>> hits;  // (k, pos)
+    for (size_t k = 0; k < words.size(); ++k) {
+        const int64_t wv = words[k];
+        const int64_t s = fi.bucket_start[wv], e = fi.bucket_start[wv + 1];
+        for (int64_t j = s; j < e; ++j)
+            hits.emplace_back((int64_t)k, fi.pos_by_word[j]);
+    }
+    if (hits.empty()) return;
+    std::stable_sort(hits.begin(), hits.end(),
+                     [](const std::pair<int64_t, int64_t>& a,
+                        const std::pair<int64_t, int64_t>& b) {
+                         return (a.first - a.second) < (b.first - b.second);
+                     });
+    int64_t last_delta = 0;
+    bool first = true;
+    for (const auto& h : hits) {
+        const int64_t d = h.first - h.second;
+        if (first || d != last_delta) {
+            out.push_back(h);
+            last_delta = d;
+            first = false;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Per-fragment melt caches (reference BindCacheKey/Value tntblast.h:248-324;
+// semantics mirrored from search/bind.py: values truncated at the filter
+// stage they failed under at evaluation time).
+
+struct Filt {
+    float min_tm, max_tm, min_dg, max_dg;
+    int clamp_5, clamp_3, max_mm, max_gap, max_poly_degen;
+};
+
+struct CacheVal {
+    float tm = 0, dg = 0, dH = 0, dS = 0;
+    int anchor_5 = 0, anchor_3 = 0;
+    int target_5 = 0, target_3 = 0;
+    int num_mm = 0, num_gap = 0, max_poly_degen = 0;
+    std::string align;
+};
+
+struct CacheKey {
+    const void* oligo_id;   // interned oligo identity (codes pointer)
+    int64_t start, stop;
+    bool operator==(const CacheKey& o) const
+    {
+        return oligo_id == o.oligo_id && start == o.start && stop == o.stop;
+    }
+};
+struct CacheKeyHash {
+    size_t operator()(const CacheKey& k) const
+    {
+        size_t h = std::hash<const void*>()(k.oligo_id);
+        h = h * 1000003u ^ std::hash<int64_t>()(k.start);
+        h = h * 1000003u ^ std::hash<int64_t>()(k.stop);
+        return h;
+    }
+};
+using MeltCache = std::unordered_map<CacheKey, CacheVal, CacheKeyHash>;
+
+// Oligo string interning: bind caches key on the oligo *sequence*
+// (reference BindCacheKey::oligo); two assays sharing a primer share
+// entries.  Intern melt-code strings so the cache key is a stable pointer.
+struct OligoIntern {
+    std::unordered_map<std::string, std::unique_ptr<std::vector<uint8_t>>> map;
+    const std::vector<uint8_t>* get(const uint8_t* codes, int n)
+    {
+        std::string key((const char*)codes, (size_t)n);
+        auto it = map.find(key);
+        if (it == map.end()) {
+            auto v = std::unique_ptr<std::vector<uint8_t>>(
+                new std::vector<uint8_t>(codes, codes + n));
+            it = map.emplace(std::move(key), std::move(v)).first;
+        }
+        return it->second.get();
+    }
+};
+
+// ---------------------------------------------------------------------------
+// Hit record returned to the Python layer (it builds hybrid_sig objects,
+// amplicon strings and masking from these).
+
+enum HitFlags {
+    HF_PRIMER_PLUS = 1,   // primer_strand == PLUS
+    HF_SWAP_F = 2,        // forward_oligo := reverse_oligo (single-primer R/R)
+    HF_SWAP_R = 4,        // reverse_oligo := forward_oligo (single-primer F/F)
+    HF_HAS_PROBE = 8,     // probe fields valid
+    HF_PROBE_PLUS = 16,   // probe_strand == PLUS
+    HF_HAS_PRIMERS = 32,  // primer fields valid
+};
+
+struct HitRec {
+    int32_t flags = 0;
+    int32_t amp_start = 0, amp_stop = 0;
+    int32_t probe_start = 0, probe_stop = 0;
+    float f_tm = 0, f_dH = 0, f_dS = 0;
+    float r_tm = 0, r_dH = 0, r_dS = 0;
+    float p_tm = 0, p_dH = 0, p_dS = 0;
+    int32_t f_mm = 0, f_gap = 0, f_clamp = 0;
+    int32_t r_mm = 0, r_gap = 0, r_clamp = 0;
+    int32_t p_mm = 0, p_gap = 0;
+    std::string f_align, r_align, p_align;
+};
+
+struct FragCtx {
+    Engine* eng = nullptr;
+    MeltState* st = nullptr;     // dedicated DP state (single caller thread)
+    std::vector<uint8_t> seq;    // fragment db codes
+    FragIndex index;
+    MeltCache cache_plus, cache_minus;
+    OligoIntern intern;
+    std::vector<HitRec> hits;    // results of the last search call
+    int64_t align_bytes = 0;
+
+    ~FragCtx() { delete st; }
+};
+
+// window_codes (search/bind.py:121-127)
+static void window_codes(const FragCtx& ctx, int64_t start, int64_t stop,
+                         bool minus, std::vector<uint8_t>& out)
+{
+    out.clear();
+    if (minus) {
+        for (int64_t i = stop - 1; i >= start; --i) {
+            const uint8_t c = DB2MELT_COMP[ctx.seq[i]];
+            if (c != 255) out.push_back(c);
+        }
+    } else {
+        for (int64_t i = start; i < stop; ++i) {
+            const uint8_t c = DB2MELT_PLUS[ctx.seq[i]];
+            if (c != 255) out.push_back(c);
+        }
+    }
+}
+
+// bind_oligo_to_{plus,minus}_strand (reference bind_oligo.cpp:124-1530;
+// control flow mirrored from search/bind.py:222-330).
+//   oligo_mask < 0: direct-from-seed variant.
+//   oligo_mask >= 0: consume pre-matched entries from info_list.
+static void bind_oligo(FragCtx& ctx, std::list<OligoInfoC>& info_list,
+                       const std::vector<uint8_t>* oligo,
+                       bool minus, float strand_conc, const Filt& filt,
+                       int oligo_mask, bool use_cache)
+{
+    const int window = (int)oligo->size();
+    const int target_length = window + 2 * NUM_FLANK_BASE_C;
+    const int64_t seq_size = (int64_t)ctx.seq.size();
+
+    MeltCache local_cache;
+    MeltCache& cache = use_cache
+        ? (minus ? ctx.cache_minus : ctx.cache_plus) : local_cache;
+
+    std::list<OligoInfoC> entries;
+    std::list<OligoInfoC> keep_rest;
+    const bool direct = oligo_mask < 0;
+
+    if (direct) {
+        std::vector<std::pair<int64_t, int64_t>> seeds;
+        unique_diagonal_seeds(ctx.index, *oligo, !minus, seeds);
+        for (const auto& s : seeds)
+            entries.emplace_back((unsigned)s.first, (unsigned)s.second, 0);
+    } else {
+        const unsigned char want =
+            (unsigned char)(oligo_mask | (minus ? OM_MINUS : OM_PLUS));
+        for (auto& e : info_list) {
+            if ((e.mask & want) == want)
+                entries.push_front(std::move(e));   // reference push_front
+            else
+                keep_rest.push_back(std::move(e));
+        }
+        info_list.clear();
+    }
+
+    // Window key per entry + evaluation of cache misses, in entry order
+    // (matches search/bind.py's miss pass; evaluation order does not affect
+    // results — each window is independent — but cache-stage semantics do).
+    struct Key { int64_t start, stop; };
+    std::vector<Key> keys;
+    keys.reserve(entries.size());
+    for (const auto& e : entries) {
+        int64_t start = (int64_t)e.target_loc
+            - ((int64_t)e.query_loc + NUM_FLANK_BASE_C);
+        if (start < 0) start = 0;
+        int64_t stop = start + target_length;
+        if (stop > seq_size) stop = seq_size;
+        keys.push_back({start, stop});
+    }
+
+    MeltState& st = *ctx.st;
+    std::vector<uint8_t> win;
+    for (const auto& kk : keys) {
+        const CacheKey ck{oligo, kk.start, kk.stop};
+        if (cache.find(ck) != cache.end()) continue;
+
+        window_codes(ctx, kk.start, kk.stop, minus, win);
+        st.set_query(oligo->data(), (int)oligo->size());
+        st.target.assign(win.begin(), win.end());
+        st.strand_conc = strand_conc;
+        const float tm = approximate_tm_heterodimer(st);
+
+        CacheVal v;
+        v.tm = tm;
+        // filter stage cascade (search/bind.py _compute_stage /
+        // _make_cache_value; reference bind_oligo.cpp:261-428)
+        const float dg = st.curr.dH - ctx.eng->base_T * st.curr.dS;
+        const int a5 = (int)anchor5_query(st);
+        const int a3 = (int)anchor3_query(st);
+        const int mm = (int)num_mismatch_of(st.curr, (unsigned)st.q_len);
+        const int gp = (int)num_gap_of(st.curr);
+        const int dg_run = (int)max_contig_degen_of(st.curr);
+
+        int stage;
+        if (tm < filt.min_tm || tm > filt.max_tm) stage = 0;
+        else if (dg < filt.min_dg || dg > filt.max_dg) stage = 1;
+        else if (a5 < filt.clamp_5) stage = 2;
+        else if (a3 < filt.clamp_3) stage = 3;
+        else if (mm > filt.max_mm) stage = 4;
+        else if (gp > filt.max_gap) stage = 5;
+        else if (dg_run > filt.max_poly_degen) stage = 6;
+        else stage = 7;
+
+        if (stage >= 1) v.dg = dg;
+        if (stage >= 2) v.anchor_5 = a5;
+        if (stage >= 3) v.anchor_3 = a3;
+        if (stage >= 4) v.num_mm = mm;
+        if (stage >= 5) v.num_gap = gp;
+        if (stage >= 6) v.max_poly_degen = dg_run;
+        if (stage >= 7) {
+            v.dH = st.curr.dH;
+            v.dS = st.curr.dS;
+            // target plus-strand extents (search/bind.py _window_locs;
+            // reference bind_oligo.cpp:364-379 / 1068-1083)
+            const int qr0 = st.curr.fm_q, qr1 = st.curr.lm_q;
+            const int tr0 = st.curr.lm_t, tr1 = st.curr.fm_t;
+            if (minus) {
+                v.target_5 = (int)(kk.start
+                    + (kk.stop - kk.start - 1 - tr1) - qr0);
+                v.target_3 = (int)(kk.start
+                    + (kk.stop - kk.start - 1 - tr0) + (window - 1) - qr1);
+            } else {
+                v.target_5 = (int)(kk.start + tr0 - ((window - 1) - qr1));
+                v.target_3 = (int)(kk.start + tr1 + qr0);
+            }
+            v.align = render_alignment(st, HETERO_DIMER);
+        }
+        cache.emplace(ck, std::move(v));
+    }
+
+    // Survivor pass (filter cascade against cached values)
+    std::list<OligoInfoC> survivors;
+    {
+        auto eit = entries.begin();
+        auto kit = keys.begin();
+        for (; eit != entries.end(); ++eit, ++kit) {
+            const CacheKey ck{oligo, kit->start, kit->stop};
+            const CacheVal& v = cache.find(ck)->second;
+            if (v.tm < filt.min_tm || v.tm > filt.max_tm) continue;
+            if (v.dg < filt.min_dg || v.dg > filt.max_dg) continue;
+            if (v.anchor_5 < filt.clamp_5 || v.anchor_3 < filt.clamp_3)
+                continue;
+            if (v.num_mm > filt.max_mm) continue;
+            if (v.num_gap > filt.max_gap) continue;
+            if (v.max_poly_degen > filt.max_poly_degen) continue;
+            OligoInfoC s = *eit;
+            s.loc_5 = v.target_5;
+            s.loc_3 = v.target_3;
+            s.tm = v.tm; s.dH = v.dH; s.dS = v.dS;
+            s.anchor_5 = (unsigned)v.anchor_5;
+            s.anchor_3 = (unsigned)v.anchor_3;
+            s.num_mm = (unsigned)v.num_mm;
+            s.num_gap = (unsigned)v.num_gap;
+            s.alignment = v.align;
+            survivors.push_back(std::move(s));
+        }
+    }
+
+    if (direct) {
+        info_list.clear();
+        if (survivors.empty()) return;
+        survivors.sort(bound_less);
+    } else {
+        if (survivors.empty()) {
+            info_list = std::move(keep_rest);
+            return;
+        }
+        survivors.sort(bound_match_less);
+    }
+
+    // dedupe keeping highest-Tm per (loc_5, loc_3) — consecutive after sort
+    std::list<OligoInfoC> out = std::move(keep_rest);
+    auto sit = survivors.begin();
+    out.push_back(std::move(*sit));
+    ++sit;
+    for (; sit != survivors.end(); ++sit) {
+        const OligoInfoC& last = out.back();
+        if (!(last.loc_5 == sit->loc_5 && last.loc_3 == sit->loc_3))
+            out.push_back(std::move(*sit));
+    }
+    info_list = std::move(out);
+}
+
+// match_oligo_to_{minus,plus}_strand (reference bind_oligo.cpp:84-122)
+static void match_oligo(FragCtx& ctx, std::list<OligoInfoC>& info_list,
+                        const std::vector<uint8_t>* oligo,
+                        unsigned char mask, bool minus)
+{
+    std::vector<std::pair<int64_t, int64_t>> seeds;
+    unique_diagonal_seeds(ctx.index, *oligo, !minus, seeds);
+    const unsigned char strand =
+        (unsigned char)(minus ? OM_MINUS : OM_PLUS);
+    for (const auto& s : seeds)
+        info_list.emplace_back((unsigned)s.first, (unsigned)s.second,
+                               (unsigned char)(mask | strand));
+}
+
+// cull_oligo_match (reference amplicon_search.cpp:679-765; semantics
+// mirrored from search/assays.py:27-75 including the one-ahead strand
+// counting quirk).
+static void cull_oligo_match(std::list<OligoInfoC>& match_list,
+                             int max_amplicon_len, bool has_probe,
+                             bool single_primer_pcr,
+                             unsigned* n_minus, unsigned* n_plus)
+{
+    const unsigned threshold = (unsigned)(max_amplicon_len + 50);
+    match_list.sort(oligo_loc_less);
+    std::vector<OligoInfoC*> items;
+    items.reserve(match_list.size());
+    for (auto& e : match_list) {
+        e.mask &= (unsigned char)~OM_VALID;
+        items.push_back(&e);
+    }
+
+    const size_t n = items.size();
+    for (size_t fi = 0; fi < n; ++fi) {
+        OligoInfoC* f = items[fi];
+        if (f->mask & (OM_PLUS | OM_P)) continue;
+        for (size_t ri = fi + 1; ri < n; ++ri) {
+            OligoInfoC* r = items[ri];
+            const unsigned diff = r->target_loc - f->target_loc;  // unsigned wrap
+            if (diff > threshold) break;
+            if (r->mask & (OM_MINUS | OM_P)) continue;
+            if (!single_primer_pcr
+                && (f->mask & (OM_R | OM_F)) == (r->mask & (OM_R | OM_F)))
+                continue;
+            if (has_probe) {
+                for (size_t pi = fi + 1; pi < ri; ++pi) {
+                    OligoInfoC* p = items[pi];
+                    if (p->mask & OM_P) {
+                        p->mask |= OM_VALID;
+                        f->mask |= OM_VALID;
+                        r->mask |= OM_VALID;
+                    }
+                }
+            } else {
+                f->mask |= OM_VALID;
+                r->mask |= OM_VALID;
+            }
+        }
+    }
+
+    for (auto it = match_list.begin(); it != match_list.end();)
+        it = (it->mask & OM_VALID) ? ++it : match_list.erase(it);
+
+    if (n_minus) {
+        // reference post-increment read: count the NEXT element's strand
+        *n_minus = *n_plus = 0;
+        if (!match_list.empty()) {
+            auto it = match_list.begin();
+            ++it;
+            for (; it != match_list.end(); ++it) {
+                if (it->mask & OM_MINUS) ++*n_minus;
+                if (it->mask & OM_PLUS) ++*n_plus;
+            }
+        }
+    }
+}
+
+struct AssayParams {
+    int assay_format;           // 0 PCR, 1 PROBE, 2 PADLOCK, 3 MIPS
+    const std::vector<uint8_t>* fwd;
+    const std::vector<uint8_t>* rev;
+    const std::vector<uint8_t>* prb;
+    float fconc, rconc, pconc;
+    Filt primer_filt, probe_filt;
+    int max_len;                // amplicon cap (PCR) / ligation gap cap
+    bool single_primer_pcr;
+    int min_max_primer_clamp;   // < 0 disables
+    int target_strand;          // 1 plus, 2 minus, 3 both
+};
+
+static void fill_pair_hit(HitRec& h, const OligoInfoC& f, const OligoInfoC& r,
+                          int32_t flags)
+{
+    // _build_hit (search/assays.py:232-261; reference
+    // amplicon_search.cpp:443-543): fo/ro ordering by strand role
+    const OligoInfoC* fo = &f;
+    const OligoInfoC* ro = &r;
+    if ((f.mask & OM_R) && (r.mask & OM_F)) { fo = &r; ro = &f; }
+    h.flags = flags | HF_HAS_PRIMERS;
+    if (f.mask & OM_F) h.flags |= HF_PRIMER_PLUS;
+    if ((f.mask & OM_R) && (r.mask & OM_R)) h.flags |= HF_SWAP_F;
+    if ((f.mask & OM_F) && (r.mask & OM_F)) h.flags |= HF_SWAP_R;
+    h.amp_start = f.loc_5;
+    h.amp_stop = r.loc_3;
+    h.f_tm = fo->tm; h.f_dH = fo->dH; h.f_dS = fo->dS;
+    h.r_tm = ro->tm; h.r_dH = ro->dH; h.r_dS = ro->dS;
+    h.f_mm = (int32_t)fo->num_mm; h.f_gap = (int32_t)fo->num_gap;
+    h.r_mm = (int32_t)ro->num_mm; h.r_gap = (int32_t)ro->num_gap;
+    h.f_clamp = (int32_t)fo->anchor_3;
+    h.r_clamp = (int32_t)ro->anchor_3;
+    h.f_align = fo->alignment;
+    h.r_align = ro->alignment;
+}
+
+// amplicon() (reference amplicon_search.cpp:58-677; control flow mirrored
+// from search/assays.py:98-229)
+static void search_amplicon(FragCtx& ctx, const AssayParams& ap)
+{
+    const bool has_probe = ap.prb != nullptr;
+    const bool apply_mmc = ap.min_max_primer_clamp >= 0;
+    std::list<OligoInfoC> match_list;
+
+    match_oligo(ctx, match_list, ap.fwd, OM_F, true);
+    match_oligo(ctx, match_list, ap.rev, OM_R, true);
+    const size_t num_minus = match_list.size();
+    if (num_minus == 0) return;
+    match_oligo(ctx, match_list, ap.fwd, OM_F, false);
+    match_oligo(ctx, match_list, ap.rev, OM_R, false);
+    if (match_list.size() == num_minus) return;
+    const size_t num_plus = match_list.size();
+    if (has_probe) {
+        match_oligo(ctx, match_list, ap.prb, OM_P, true);
+        match_oligo(ctx, match_list, ap.prb, OM_P, false);
+        if (match_list.size() == num_plus) return;
+    }
+
+    unsigned sc_minus = 0, sc_plus = 0;
+    cull_oligo_match(match_list, ap.max_len, has_probe, ap.single_primer_pcr,
+                     &sc_minus, &sc_plus);
+
+    struct BindStep {
+        const std::vector<uint8_t>* oligo;
+        int mask; float conc; bool minus;
+    };
+    BindStep order[4];
+    if (sc_minus < sc_plus) {
+        order[0] = {ap.fwd, OM_F, ap.fconc, true};
+        order[1] = {ap.rev, OM_R, ap.rconc, true};
+        order[2] = {ap.fwd, OM_F, ap.fconc, false};
+        order[3] = {ap.rev, OM_R, ap.rconc, false};
+    } else {
+        order[0] = {ap.fwd, OM_F, ap.fconc, false};
+        order[1] = {ap.rev, OM_R, ap.rconc, false};
+        order[2] = {ap.fwd, OM_F, ap.fconc, true};
+        order[3] = {ap.rev, OM_R, ap.rconc, true};
+    }
+    for (int i = 0; i < 4; ++i) {
+        bind_oligo(ctx, match_list, order[i].oligo, order[i].minus,
+                   order[i].conc, ap.primer_filt, order[i].mask, true);
+        if (i < 3) {
+            cull_oligo_match(match_list, ap.max_len, has_probe,
+                             ap.single_primer_pcr, nullptr, nullptr);
+            if (match_list.empty()) return;
+        }
+    }
+
+    if (has_probe) {
+        cull_oligo_match(match_list, ap.max_len, has_probe,
+                         ap.single_primer_pcr, nullptr, nullptr);
+        if (match_list.empty()) return;
+        bind_oligo(ctx, match_list, ap.prb, true, ap.pconc,
+                   ap.probe_filt, OM_P, true);
+        bind_oligo(ctx, match_list, ap.prb, false, ap.pconc,
+                   ap.probe_filt, OM_P, true);
+    }
+
+    match_list.sort(oligo_loc_less);
+    std::vector<OligoInfoC*> items;
+    items.reserve(match_list.size());
+    for (auto& e : match_list) items.push_back(&e);
+
+    const size_t n = items.size();
+    for (size_t fi = 0; fi < n; ++fi) {
+        OligoInfoC* f = items[fi];
+        if (f->mask & (OM_PLUS | OM_P)) continue;
+        for (size_t ri = fi + 1; ri < n; ++ri) {
+            OligoInfoC* r = items[ri];
+            if (r->mask & (OM_MINUS | OM_P)) continue;
+            if (!ap.single_primer_pcr
+                && (f->mask & (OM_R | OM_F)) == (r->mask & (OM_R | OM_F)))
+                continue;
+            if (f->loc_3 >= r->loc_5) continue;
+            if ((r->loc_3 - f->loc_5 + 1) > ap.max_len) continue;
+            if (apply_mmc
+                && (int)std::max(f->anchor_3, r->anchor_3)
+                       <= ap.min_max_primer_clamp)
+                continue;
+
+            if (has_probe) {
+                for (size_t pi = fi + 1; pi < ri; ++pi) {
+                    OligoInfoC* p = items[pi];
+                    if (!(p->mask & OM_P)) continue;
+                    if (!(p->loc_5 >= f->loc_5 && p->loc_3 <= r->loc_3))
+                        continue;
+                    // TaqMan hydrolysis: probe must not overlap the primer
+                    // bound to its own strand (amplicon_search.cpp:404-441)
+                    if ((p->mask & (OM_PLUS | OM_MINUS))
+                        == (f->mask & (OM_PLUS | OM_MINUS))) {
+                        if (p->loc_5 <= f->loc_3) continue;
+                    } else {
+                        if (p->loc_3 >= r->loc_5) continue;
+                    }
+                    HitRec h;
+                    fill_pair_hit(h, *f, *r, HF_HAS_PROBE
+                        | ((p->mask & OM_PLUS) ? HF_PROBE_PLUS : 0));
+                    h.probe_start = p->loc_5;
+                    h.probe_stop = p->loc_3;
+                    h.p_tm = p->tm; h.p_dH = p->dH; h.p_dS = p->dS;
+                    h.p_mm = (int32_t)p->num_mm;
+                    h.p_gap = (int32_t)p->num_gap;
+                    h.p_align = p->alignment;
+                    ctx.hits.push_back(std::move(h));
+                }
+            } else {
+                HitRec h;
+                fill_pair_hit(h, *f, *r, 0);
+                ctx.hits.push_back(std::move(h));
+            }
+        }
+    }
+}
+
+// hybrid() (reference probe_search.cpp:67-230; search/assays.py:266-311)
+static void search_hybrid(FragCtx& ctx, const AssayParams& ap)
+{
+    for (int pass = 0; pass < 2; ++pass) {
+        const bool minus = (pass == 0);
+        if (minus && !(ap.target_strand & 2)) continue;
+        if (!minus && !(ap.target_strand & 1)) continue;
+        std::list<OligoInfoC> bound;
+        bind_oligo(ctx, bound, ap.prb, minus, ap.pconc, ap.probe_filt,
+                   -1, /*use_cache=*/false);
+        for (const auto& e : bound) {
+            HitRec h;
+            h.flags = HF_HAS_PROBE | (minus ? 0 : HF_PROBE_PLUS);
+            h.probe_start = e.loc_5;
+            h.probe_stop = e.loc_3;
+            h.p_tm = e.tm; h.p_dH = e.dH; h.p_dS = e.dS;
+            h.p_mm = (int32_t)e.num_mm;
+            h.p_gap = (int32_t)e.num_gap;
+            h.p_align = e.alignment;
+            ctx.hits.push_back(std::move(h));
+        }
+    }
+}
+
+// padlock() (reference padlock_search.cpp:62-361; search/assays.py:316-383)
+static void search_padlock(FragCtx& ctx, const AssayParams& ap)
+{
+    Filt up_filt = ap.probe_filt;    // clamp_3 forced 0 by caller
+    Filt down_filt = ap.probe_filt;  // clamp_5 forced 0 by caller
+    up_filt.clamp_3 = 0;
+    down_filt.clamp_5 = 0;
+
+    for (int pass = 0; pass < 2; ++pass) {
+        const bool minus = (pass == 0);
+        if (minus && !(ap.target_strand & 2)) continue;
+        if (!minus && !(ap.target_strand & 1)) continue;
+        std::list<OligoInfoC> upstream, downstream;
+        bind_oligo(ctx, upstream, ap.rev, minus, ap.rconc, up_filt,
+                   -1, true);
+        bind_oligo(ctx, downstream, ap.fwd, minus, ap.fconc, down_filt,
+                   -1, true);
+        for (const auto& up : upstream) {
+            for (const auto& down : downstream) {
+                const int gap = minus ? (up.loc_5 - down.loc_3 - 1)
+                                      : (down.loc_5 - up.loc_3 - 1);
+                if (gap < 0 || gap > ap.max_len) continue;
+                HitRec h;
+                h.flags = HF_HAS_PRIMERS | (minus ? 0 : HF_PRIMER_PLUS);
+                h.amp_start = minus ? down.loc_5 : up.loc_5;
+                h.amp_stop = minus ? up.loc_3 : down.loc_3;
+                h.f_tm = down.tm; h.f_dH = down.dH; h.f_dS = down.dS;
+                h.r_tm = up.tm; h.r_dH = up.dH; h.r_dS = up.dS;
+                h.f_mm = (int32_t)down.num_mm;
+                h.f_gap = (int32_t)down.num_gap;
+                h.r_mm = (int32_t)up.num_mm;
+                h.r_gap = (int32_t)up.num_gap;
+                h.f_align = down.alignment;
+                h.r_align = up.alignment;
+                h.f_clamp = (int32_t)down.anchor_3;
+                h.r_clamp = (int32_t)up.anchor_5;   // ligation clamps
+                ctx.hits.push_back(std::move(h));
+            }
+        }
+    }
+}
+
+}  // namespace
+
+// ===========================================================================
+// C ABI
+// ===========================================================================
+
+extern "C" {
+
+void* tnt_frag_create(void* eng_ptr, const uint8_t* db_codes, int64_t n,
+                      int word_len)
+{
+    Engine* e = (Engine*)eng_ptr;
+    FragCtx* ctx = new FragCtx();
+    ctx->eng = e;
+    ctx->st = new MeltState();
+    ctx->st->eng = e;
+    state_set_temperature(*ctx->st, e->base_T);
+    ctx->seq.assign(db_codes, db_codes + n);
+    ctx->index.word_len = word_len;
+    ctx->index.n = n;
+    ctx->index.seq = ctx->seq.data();
+    return ctx;
+}
+
+void tnt_frag_destroy(void* ctx_ptr) { delete (FragCtx*)ctx_ptr; }
+
+// Run one assay search over the fragment. filt arrays:
+// [min_tm, max_tm, min_dg, max_dg, clamp5, clamp6, max_mm, max_gap,
+//  max_poly_degen] (clamps/counts passed as float, converted to int).
+// Returns the number of hits (fetch with tnt_frag_fetch).
+int64_t tnt_frag_search(
+    void* ctx_ptr, int assay_format,
+    const uint8_t* f_codes, int f_len,
+    const uint8_t* r_codes, int r_len,
+    const uint8_t* p_codes, int p_len,
+    float fconc, float rconc, float pconc,
+    const float* primer_filt9, const float* probe_filt9,
+    int max_len, int single_primer_pcr, int min_max_primer_clamp,
+    int target_strand)
+{
+    FragCtx& ctx = *(FragCtx*)ctx_ptr;
+    ctx.hits.clear();
+
+    auto to_filt = [](const float* f) {
+        Filt out;
+        out.min_tm = f[0]; out.max_tm = f[1];
+        out.min_dg = f[2]; out.max_dg = f[3];
+        out.clamp_5 = (int)f[4]; out.clamp_3 = (int)f[5];
+        out.max_mm = (int)f[6]; out.max_gap = (int)f[7];
+        out.max_poly_degen = (int)f[8];
+        return out;
+    };
+
+    AssayParams ap;
+    ap.assay_format = assay_format;
+    ap.fwd = f_len ? ctx.intern.get(f_codes, f_len) : nullptr;
+    ap.rev = r_len ? ctx.intern.get(r_codes, r_len) : nullptr;
+    ap.prb = p_len ? ctx.intern.get(p_codes, p_len) : nullptr;
+    ap.fconc = fconc; ap.rconc = rconc; ap.pconc = pconc;
+    ap.primer_filt = to_filt(primer_filt9);
+    ap.probe_filt = to_filt(probe_filt9);
+    ap.max_len = max_len;
+    ap.single_primer_pcr = single_primer_pcr != 0;
+    ap.min_max_primer_clamp = min_max_primer_clamp;
+    ap.target_strand = target_strand;
+
+    switch (assay_format) {
+        case 0: search_amplicon(ctx, ap); break;
+        case 1: search_hybrid(ctx, ap); break;
+        case 2: case 3: search_padlock(ctx, ap); break;
+        default: break;
+    }
+
+    ctx.align_bytes = 0;
+    for (const auto& h : ctx.hits)
+        ctx.align_bytes += (int64_t)(h.f_align.size() + h.r_align.size()
+                                     + h.p_align.size());
+    return (int64_t)ctx.hits.size();
+}
+
+int64_t tnt_frag_align_bytes(void* ctx_ptr)
+{
+    return ((FragCtx*)ctx_ptr)->align_bytes;
+}
+
+// Fetch the hits of the last search call.
+//   ints:   n x 13 [flags, amp_start, amp_stop, p_start, p_stop,
+//                   f_mm, f_gap, f_clamp, r_mm, r_gap, r_clamp, p_mm, p_gap]
+//   floats: n x 9  [f_tm, f_dH, f_dS, r_tm, r_dH, r_dS, p_tm, p_dH, p_dS]
+//   aligns: 3 strings per hit (f, r, p) packed; offsets 3n+1 entries.
+void tnt_frag_fetch(void* ctx_ptr, int32_t* ints, float* floats,
+                    char* align_buf, int64_t* align_off)
+{
+    FragCtx& ctx = *(FragCtx*)ctx_ptr;
+    int64_t pos = 0;
+    int64_t k = 0;
+    for (const auto& h : ctx.hits) {
+        int32_t* I = ints + 13 * k;
+        I[0] = h.flags;
+        I[1] = h.amp_start; I[2] = h.amp_stop;
+        I[3] = h.probe_start; I[4] = h.probe_stop;
+        I[5] = h.f_mm; I[6] = h.f_gap; I[7] = h.f_clamp;
+        I[8] = h.r_mm; I[9] = h.r_gap; I[10] = h.r_clamp;
+        I[11] = h.p_mm; I[12] = h.p_gap;
+        float* F = floats + 9 * k;
+        F[0] = h.f_tm; F[1] = h.f_dH; F[2] = h.f_dS;
+        F[3] = h.r_tm; F[4] = h.r_dH; F[5] = h.r_dS;
+        F[6] = h.p_tm; F[7] = h.p_dH; F[8] = h.p_dS;
+        const std::string* strs[3] = {&h.f_align, &h.r_align, &h.p_align};
+        for (int s = 0; s < 3; ++s) {
+            align_off[3 * k + s] = pos;
+            std::memcpy(align_buf + pos, strs[s]->data(), strs[s]->size());
+            pos += (int64_t)strs[s]->size();
+        }
+        ++k;
+    }
+    align_off[3 * k] = pos;
+}
+
+}  // extern "C"

@@ -1163,8 +1163,15 @@ std::string render_alignment(const MeltState& st, Mode mode)
         s += "\n3' ";
         for (auto it = al.q.rbegin(); it != al.q.rend(); ++it) s += BASE_MAP[*it];
     } else {
+        // For homodimers the target buffer IS the query (reference
+        // tm_dimer(query, query, HOMO_DIMER), nuc_cruc.cpp:2481): resolve
+        // target reads against the query's stale-slot buffer.
+        const bool homo = (mode == HOMO_DIMER);
         const int query_len = st.q_len;
-        const int target_len = (int)st.target.size();
+        const int target_len = homo ? st.q_len : (int)st.target.size();
+        auto t_read = [&](int i) -> uint8_t {
+            return homo ? st.q_at(i) : st.t_at(i);
+        };
         const int prefix_len = std::max(0, std::min(al.fm_q, target_len - 1 - al.fm_t));
         const int suffix_len = std::max(0, std::min(query_len - 1 - al.lm_q, al.lm_t));
 
@@ -1178,17 +1185,17 @@ std::string render_alignment(const MeltState& st, Mode mode)
 
         for (int i = 0; i < prefix_len; ++i)
             s += is_comp_base(st.q_at(al.fm_q - prefix_len + i),
-                              st.t_at(al.fm_t + prefix_len - i)) ? ':' : ' ';
+                              t_read(al.fm_t + prefix_len - i)) ? ':' : ' ';
         for (size_t i = 0; i < al.q.size(); ++i)
             s += is_comp_base(al.t[i], al.q[i]) ? '|' : ' ';
         for (int i = 0; i < suffix_len; ++i)
             s += is_comp_base(st.q_at(al.lm_q + 1 + i),
-                              st.t_at(al.lm_t - i - 1)) ? ':' : ' ';
+                              t_read(al.lm_t - i - 1)) ? ':' : ' ';
         s += "\n3' ";
 
-        for (int i = prefix_len; i > 0; --i) s += BASE_MAP[st.t_at(al.fm_t + i)];
+        for (int i = prefix_len; i > 0; --i) s += BASE_MAP[t_read(al.fm_t + i)];
         for (uint8_t b : al.t) s += BASE_MAP[b];
-        for (int i = 1; i <= suffix_len; ++i) s += BASE_MAP[st.t_at(al.lm_t - i)];
+        for (int i = 1; i <= suffix_len; ++i) s += BASE_MAP[t_read(al.lm_t - i)];
         s += " 5'";
     }
     return s;
