@@ -59,3 +59,26 @@ def test_golden_config(name, tmp_path, monkeypatch, capfd):
     want_stdout = normalize_stdout(
         (GOLD / f"{name}.stdout").read_text(), golden_out_path)
     assert got_stdout == want_stdout, f"stdout mismatch for {name}"
+
+
+@pytest.mark.parametrize("name", ["pcr_frag", "taqman", "padlock",
+                                  "probe_small", "plex"])
+def test_golden_config_threaded(name, tmp_path, monkeypatch):
+    """The threaded fragment loop (engine._run_search_parallel) must
+    produce a byte-identical hit list to the sequential run."""
+    from tntblast_tpu import cli
+
+    args = (GOLD / f"{name}.cmd").read_text().split()
+    out_file = tmp_path / f"{name}.out"
+    args += ["-o", str(out_file)]
+
+    monkeypatch.chdir(DATA)
+    monkeypatch.setenv("TNTBLAST_TPU_THREADS", "4")
+
+    stdout = io.StringIO()
+    ret = cli.local_main(args, stdout=stdout)
+    assert ret == 0
+
+    got_out = out_file.read_text() if out_file.exists() else ""
+    want_out = (GOLD / f"{name}.out").read_text()
+    assert got_out == want_out, f"threaded output mismatch for {name}"

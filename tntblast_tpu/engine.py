@@ -162,6 +162,108 @@ class SearchState:
         self.fragment_target = False
 
 
+def _fragment_work_items(opt, db):
+    """Enumerate (target, start, stop, max_stop) work items in the exact
+    order of the sequential counters (reference tntblast_local.cpp:400-470
+    with query segmentation off).  Returns (items, fragment_target)."""
+    num_seq = db.size()
+    items = []
+    fragment_target = False
+    cur_target = 0
+    while cur_target < num_seq:
+        tlen = db.approx_seq_len(cur_target)
+        max_stop = tlen - 1
+        delta = seq_len_increment(tlen, opt.fragment_target_threshold)[0]
+        start, stop = 0, delta
+        while True:
+            items.append((cur_target, start, stop, max_stop))
+            if stop == max_stop:
+                break
+            start = stop + 1
+            stop = min(stop + delta, max_stop)
+            fragment_target = True
+        cur_target += 1
+    return items, fragment_target
+
+
+def _run_search_parallel(opt, db, engine, stdout, n_threads):
+    """Threaded fragment loop: work items run on a host thread pool (the
+    C++ search releases the GIL); results are spliced in sequential work-
+    item order so the hit list is identical to the 1-thread run
+    (reference OpenMP model, tntblast_local.cpp:316-852; per-thread caches
+    become per-fragment caches, a strictly finer scope with the same
+    memoization semantics)."""
+    from concurrent.futures import ThreadPoolExecutor
+    from collections import deque
+
+    num_sig = len(opt.sig_list)
+    max_product_length = opt.max_product_length() + 2
+    inverse_query = bool(opt.output_format & C.OUTPUT_INVERSE_QUERY)
+
+    state = SearchState(num_sig)
+    items, state.fragment_target = _fragment_work_items(opt, db)
+    inv_total = 1.0 / (float(db.size()) * float(num_sig))
+
+    progress = ProgressDisplay(stdout, opt.verbose)
+    progress.start()
+
+    def work(local_target, local_target_start, local_target_stop,
+             local_target_max_stop, defline, seq_codes):
+        target_len = len(seq_codes)
+        if target_len < opt.hash_word_size:
+            # too small to hash (reference tntblast_local.cpp:513-529)
+            return None
+        ctx = NativeFragContext(engine, seq_codes, opt.hash_word_size,
+                                defline)
+        per_sig = []
+        for sig in opt.sig_list:
+            local_results = search_assay(ctx, sig, opt)
+            kept = []
+            for h in local_results:
+                if local_target_start != 0 and h.start_overlap(0):
+                    continue
+                if (local_target_stop != local_target_max_stop
+                        and h.stop_overlap(target_len - 1)):
+                    continue
+                h.seq_index = local_target
+                h.offset_ranges(local_target_start)
+                kept.append(h)
+            per_sig.append((sig.id, kept))
+        ctx.close()
+        return per_sig
+
+    def apply_result(per_sig, local_target):
+        if per_sig is not None:
+            for sig_id, kept in per_sig:
+                compute_secondary_tms(engine, kept, opt)
+                if inverse_query:
+                    if kept:
+                        state.query_matches[sig_id] = True
+                else:
+                    state.search_results[sig_id] = (
+                        kept + state.search_results[sig_id])
+        progress.update((local_target * num_sig + num_sig) * inv_total,
+                        False)
+
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
+        pending = deque()
+        for (tgt, start, stop, max_stop) in items:
+            defline, seq_codes = db.read(tgt, start,
+                                         stop + max_product_length)
+            pending.append(
+                (pool.submit(work, tgt, start, stop, max_stop,
+                             defline, seq_codes), tgt))
+            while len(pending) > 2 * n_threads:
+                fut, t = pending.popleft()
+                apply_result(fut.result(), t)
+        while pending:
+            fut, t = pending.popleft()
+            apply_result(fut.result(), t)
+
+    progress.finish()
+    return state
+
+
 def run_search(opt, db: SequenceDatabase, engine, stdout=None):
     """The reference work loop (tntblast_local.cpp:316-852), sequential.
 
@@ -171,6 +273,18 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
     """
     if stdout is None:
         stdout = sys.stdout
+
+    # Fast path: native fragment search on a host thread pool.  Query
+    # segmentation never triggers at num_worker == 1 (query_sched,
+    # reference tntblast_util.cpp:1793-1844), so the parallel loop only
+    # needs the fragment axis; forced segmentation (--query-seg T) and the
+    # device-screen paths use the sequential loop below.
+    if (not getattr(opt, "tpu_frag", False)
+            and not getattr(opt, "tpu_screen", False)
+            and opt.query_segmentation != C.QUERY_SEGMENTATION_ON
+            and getattr(engine, "n_threads", 1) > 1):
+        return _run_search_parallel(opt, db, engine, stdout,
+                                    engine.n_threads)
 
     num_sig = len(opt.sig_list)
     num_seq = db.size()
