@@ -299,6 +299,7 @@ struct FragCtx {
     FragIndex index;
     MeltCache cache_plus, cache_minus;
     OligoIntern intern;
+    std::unordered_map<const void*, QueryLUT> lut_cache;  // per oligo
     std::vector<HitRec> hits;    // results of the last search call
     int64_t align_bytes = 0;
 
@@ -377,21 +378,13 @@ static void bind_oligo(FragCtx& ctx, std::list<OligoInfoC>& info_list,
     }
 
     MeltState& st = *ctx.st;
-    std::vector<uint8_t> win;
-    for (const auto& kk : keys) {
-        const CacheKey ck{oligo, kk.start, kk.stop};
-        if (cache.find(ck) != cache.end()) continue;
 
-        window_codes(ctx, kk.start, kk.stop, minus, win);
-        st.set_query(oligo->data(), (int)oligo->size());
-        st.target.assign(win.begin(), win.end());
-        st.strand_conc = strand_conc;
-        const float tm = approximate_tm_heterodimer(st);
-
+    // Finish one evaluated window: filter-stage cascade + cache store
+    // (search/bind.py _compute_stage / _make_cache_value; reference
+    // bind_oligo.cpp:261-428).
+    auto store_result = [&](const Key& kk, float tm) {
         CacheVal v;
         v.tm = tm;
-        // filter stage cascade (search/bind.py _compute_stage /
-        // _make_cache_value; reference bind_oligo.cpp:261-428)
         const float dg = st.curr.dH - ctx.eng->base_T * st.curr.dS;
         const int a5 = (int)anchor5_query(st);
         const int a3 = (int)anchor3_query(st);
@@ -433,7 +426,95 @@ static void bind_oligo(FragCtx& ctx, std::list<OligoInfoC>& info_list,
             }
             v.align = render_alignment(st, HETERO_DIMER);
         }
-        cache.emplace(ck, std::move(v));
+        cache.emplace(CacheKey{oligo, kk.start, kk.stop}, std::move(v));
+    };
+
+    // Collect unevaluated windows (deduped; first occurrence wins, as in
+    // the incremental evaluation order)
+    struct MissItem { Key key; std::vector<uint8_t> win; };
+    std::vector<MissItem> misses;
+    std::unordered_map<int64_t, bool> pending;
+    for (const auto& kk : keys) {
+        const CacheKey ck{oligo, kk.start, kk.stop};
+        if (cache.find(ck) != cache.end()) continue;
+        // window width <= MAX_SEQUENCE_LENGTH + 8 < 4096, so this packing
+        // is collision-free
+        const int64_t pk = (kk.start << 12) | (kk.stop - kk.start);
+        if (!pending.emplace(pk, true).second) continue;
+        MissItem mi;
+        mi.key = kk;
+        window_codes(ctx, kk.start, kk.stop, minus, mi.win);
+        misses.push_back(std::move(mi));
+    }
+
+    if (!misses.empty()) {
+        st.set_query(oligo->data(), (int)oligo->size());
+        st.strand_conc = strand_conc;
+    }
+
+    if (!misses.empty() && !ctx.eng->dinkelbach) {
+        // Batched DP: group same-length windows into SIMD lanes; the
+        // per-lane traceback/enumeration runs on the lane-strided
+        // matrices (melt_engine.cpp align_dimer_batch), bit-identical to
+        // the scalar path.
+        QueryLUT& lut = ctx.lut_cache[oligo];
+        if (lut.wq != (int)oligo->size())
+            build_query_lut(st, lut);
+
+        std::vector<int> order(misses.size());
+        for (size_t k = 0; k < order.size(); ++k) order[k] = (int)k;
+        std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+            return misses[a].win.size() < misses[b].win.size();
+        });
+
+        Score scores[DP_LANES];
+        std::vector<int64_t> cells[DP_LANES];
+        const uint8_t* tgts[DP_LANES];
+        size_t g0 = 0;
+        while (g0 < order.size()) {
+            const int t_len = (int)misses[order[g0]].win.size();
+            size_t g1 = g0;
+            while (g1 < order.size()
+                   && (int)misses[order[g1]].win.size() == t_len)
+                ++g1;
+            if (t_len == 0) {
+                // empty window (all bases dropped): scalar semantics
+                for (size_t k = g0; k < g1; ++k) {
+                    MissItem& mi = misses[order[k]];
+                    st.target.clear();
+                    const float tm = approximate_tm_heterodimer(st);
+                    store_result(mi.key, tm);
+                }
+                g0 = g1;
+                continue;
+            }
+            for (size_t c0 = g0; c0 < g1; c0 += DP_LANES) {
+                const int n = (int)std::min((size_t)DP_LANES, g1 - c0);
+                for (int l = 0; l < n; ++l)
+                    tgts[l] = misses[order[c0 + l]].win.data();
+                for (int l = n; l < DP_LANES; ++l) tgts[l] = tgts[0];
+                align_dimer_batch(st, lut, tgts, t_len, n, scores, cells);
+                for (int l = 0; l < n; ++l) {
+                    MissItem& mi = misses[order[c0 + l]];
+                    st.lane = l;
+                    st.target.assign(mi.win.begin(), mi.win.end());
+                    st.mode = HETERO_DIMER;
+                    st.curr.clear();
+                    st.max_cells = cells[l];
+                    st.max_score = scores[l];
+                    const float tm = tm_dimer(st, false, HETERO_DIMER);
+                    st.curr.dp_dg = -(float)scores[l] / 10000.0f;
+                    store_result(mi.key, tm);
+                }
+            }
+            g0 = g1;
+        }
+    } else {
+        for (const auto& mi : misses) {
+            st.target.assign(mi.win.begin(), mi.win.end());
+            const float tm = approximate_tm_heterodimer(st);
+            store_result(mi.key, tm);
+        }
     }
 
     // Survivor pass (filter cascade against cached values)

@@ -234,10 +234,13 @@ struct MeltState {
     int q_len = 0;
     std::vector<uint8_t> target;
 
-    // DP matrices, stride = t_cols (t_len + 1)
+    // DP matrices, stride = t_cols (t_len + 1).  In batched mode the
+    // matrices hold L lanes interleaved (cell-major, lane-minor); the
+    // scalar paths run with L = 1, lane = 0.
     std::vector<Score> M_, Iq_, It_;
     std::vector<uint8_t> Mt_, Iqt_, Itt_;
     int rows = 0, cols = 0;
+    int L = 1, lane = 0;
 
     std::vector<int64_t> max_cells;  // linear index i*cols + j
     Score max_score = -1;
@@ -345,6 +348,8 @@ void ensure_dp(MeltState& st, int q_len, int t_len)
 {
     st.rows = q_len + 1;
     st.cols = t_len + 1;
+    st.L = 1;
+    st.lane = 0;
     size_t need = (size_t)st.rows * st.cols;
     if (st.M_.size() < need) {
         st.M_.resize(need); st.Iq_.resize(need); st.It_.resize(need);
@@ -571,7 +576,7 @@ void trace_back(MeltState& st, int64_t cell, bool homo,
             local_match = *match_ptr;
         }
 
-        size_t idx = (size_t)last_i * cols + last_j;
+        size_t idx = ((size_t)last_i * cols + last_j) * st.L + st.lane;
 
         switch (local_match) {
             case query_target:
@@ -619,6 +624,359 @@ void trace_back(MeltState& st, int64_t cell, bool homo,
                 return;
         }
         if (!valid_alignment) break;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Batched heterodimer DP: evaluates up to DP_LANES windows sharing one
+// query in int32 SIMD lanes, writing lane-interleaved matrices so the
+// scalar traceback/enumeration runs unchanged per lane (st.L / st.lane).
+//
+// The pair-of-pairs score lookups dg[bp(pt,pq)*49 + bp(tb,qb)] collapse,
+// for a fixed query row, into five 324-entry LUTs indexed by the target
+// pair tp = pt*18 + tb — one gather per cost instead of two dependent
+// table walks. The LUT depends only on (query, delta_g) and is cached per
+// bind call. Cell arithmetic and trace-bit tie semantics are identical to
+// align_dimer (reference nuc_cruc.cpp:508-693); results are bit-equal.
+
+const int DP_LANES = 8;
+
+struct QueryLUT {
+    int wq = 0;
+    // per row r (1-based row i -> index i-1): 5 x 324 int32
+    std::vector<int32_t> mm, mq, mt, qi, ti;
+    std::vector<int32_t> te;       // per row scalar
+    std::vector<int32_t> qe;       // global 324
+};
+
+void build_query_lut(const MeltState& st, QueryLUT& lut)
+{
+    const int q_len = st.q_len;
+    const uint8_t* q = st.qbuf;
+    const int* dg = st.delta_g;
+    lut.wq = q_len;
+    lut.mm.resize((size_t)q_len * 324);
+    lut.mq.resize((size_t)q_len * 324);
+    lut.mt.resize((size_t)q_len * 324);
+    lut.qi.resize((size_t)q_len * 324);
+    lut.ti.resize((size_t)q_len * 324);
+    lut.te.resize(q_len);
+    lut.qe.resize(324);
+    for (int pt = 0; pt < NUM_ALPHA; ++pt)
+        for (int tb = 0; tb < NUM_ALPHA; ++tb)
+            lut.qe[pt * NUM_ALPHA + tb] =
+                dg[best_pair(pt, GAP) * NUM_BP + best_pair(tb, GAP)];
+    for (int i = 1; i <= q_len; ++i) {
+        const int qbase = q[q_len - i];
+        const int prev_q = (i == 1) ? GAP : q[q_len - (i - 1)];
+        int32_t* mm = &lut.mm[(size_t)(i - 1) * 324];
+        int32_t* mq = &lut.mq[(size_t)(i - 1) * 324];
+        int32_t* mt = &lut.mt[(size_t)(i - 1) * 324];
+        int32_t* qi = &lut.qi[(size_t)(i - 1) * 324];
+        int32_t* ti = &lut.ti[(size_t)(i - 1) * 324];
+        const int cur_bp_gq = best_pair(GAP, qbase);
+        const int bp_gap_pq = best_pair(GAP, prev_q);
+        for (int pt = 0; pt < NUM_ALPHA; ++pt) {
+            const int bp_pt_pq = best_pair(pt, prev_q);
+            const int bp_pt_gap = best_pair(pt, GAP);
+            const int bp_pt_qb = best_pair(pt, qbase);
+            for (int tb = 0; tb < NUM_ALPHA; ++tb) {
+                const int tp = pt * NUM_ALPHA + tb;
+                const int cur = best_pair(tb, qbase);
+                mm[tp] = dg[bp_pt_pq * NUM_BP + cur];
+                mq[tp] = dg[bp_pt_gap * NUM_BP + cur];
+                mt[tp] = dg[bp_gap_pq * NUM_BP + cur];
+                qi[tp] = dg[bp_pt_qb * NUM_BP + best_pair(tb, GAP)];
+                ti[tp] = dg[best_pair(tb, prev_q) * NUM_BP + cur_bp_gq];
+            }
+        }
+        lut.te[i - 1] = dg[bp_gap_pq * NUM_BP + cur_bp_gq];
+    }
+}
+
+void ensure_dp_batch(MeltState& st, int q_len, int t_len)
+{
+    st.rows = q_len + 1;
+    st.cols = t_len + 1;
+    st.L = DP_LANES;
+    st.lane = 0;
+    size_t need = (size_t)st.rows * st.cols * DP_LANES;
+    if (st.M_.size() < need) {
+        st.M_.resize(need); st.Iq_.resize(need); st.It_.resize(need);
+        st.Mt_.resize(need); st.Iqt_.resize(need); st.Itt_.resize(need);
+    }
+    for (int j = 0; j < st.cols; ++j) {
+        for (int l = 0; l < DP_LANES; ++l) {
+            size_t k = (size_t)j * DP_LANES + l;
+            st.M_[k] = st.Iq_[k] = st.It_[k] = -1;
+            st.Mt_[k] = st.Iqt_[k] = st.Itt_[k] = invalid_trace;
+        }
+    }
+    for (int i = 1; i < st.rows; ++i) {
+        for (int l = 0; l < DP_LANES; ++l) {
+            size_t k = ((size_t)i * st.cols) * DP_LANES + l;
+            st.M_[k] = st.Iq_[k] = st.It_[k] = -1;
+            st.Mt_[k] = st.Iqt_[k] = st.Itt_[k] = invalid_trace;
+        }
+    }
+}
+
+#if defined(__x86_64__) || defined(_M_X64)
+#define TNT_HAVE_AVX2_DISPATCH 1
+#include <immintrin.h>
+
+__attribute__((target("avx2"), always_inline)) inline
+void pack_store_u8(uint8_t* dst, __m256i x)
+{
+    __m128i lo = _mm256_castsi256_si128(x);
+    __m128i hi = _mm256_extracti128_si256(x, 1);
+    __m128i p16 = _mm_packus_epi32(lo, hi);
+    __m128i p8 = _mm_packus_epi16(p16, p16);
+    _mm_storel_epi64((__m128i*)dst, p8);
+}
+
+__attribute__((target("avx2")))
+void dp_batch_rows_avx2(MeltState& st, const QueryLUT& lut,
+                        const int32_t* tpv, const int32_t* qev, int t_len)
+{
+    const int q_len = st.q_len;
+    const int cols = st.cols;
+    Score* Mv = st.M_.data();
+    Score* Iqv = st.Iq_.data();
+    Score* Itv = st.It_.data();
+    uint8_t* Mtv = st.Mt_.data();
+    uint8_t* Iqtv = st.Iqt_.data();
+    uint8_t* Ittv = st.Itt_.data();
+
+    const __m256i zero = _mm256_setzero_si256();
+    const __m256i one = _mm256_set1_epi32(im1_jm1);
+    const __m256i two = _mm256_set1_epi32(im1_j);
+    const __m256i four = _mm256_set1_epi32(i_jm1);
+
+    for (int i = 1; i <= q_len; ++i) {
+        const size_t row = (size_t)i * cols;
+        const size_t prow = row - cols;
+        const int32_t* mm = &lut.mm[(size_t)(i - 1) * 324];
+        const int32_t* mq = &lut.mq[(size_t)(i - 1) * 324];
+        const int32_t* mt = &lut.mt[(size_t)(i - 1) * 324];
+        const int32_t* qi = &lut.qi[(size_t)(i - 1) * 324];
+        const int32_t* ti = &lut.ti[(size_t)(i - 1) * 324];
+        const __m256i vte = _mm256_set1_epi32(lut.te[i - 1]);
+
+        __m256i diagM = _mm256_loadu_si256(
+            (const __m256i*)(Mv + prow * DP_LANES));
+        __m256i diagIq = _mm256_loadu_si256(
+            (const __m256i*)(Iqv + prow * DP_LANES));
+        __m256i diagIt = _mm256_loadu_si256(
+            (const __m256i*)(Itv + prow * DP_LANES));
+        __m256i mprev = _mm256_loadu_si256(
+            (const __m256i*)(Mv + row * DP_LANES));
+        __m256i iqprev = _mm256_loadu_si256(
+            (const __m256i*)(Iqv + row * DP_LANES));
+
+        for (int j = 1; j <= t_len; ++j) {
+            const __m256i upM = _mm256_loadu_si256(
+                (const __m256i*)(Mv + (prow + j) * DP_LANES));
+            const __m256i upIq = _mm256_loadu_si256(
+                (const __m256i*)(Iqv + (prow + j) * DP_LANES));
+            const __m256i upIt = _mm256_loadu_si256(
+                (const __m256i*)(Itv + (prow + j) * DP_LANES));
+            const __m256i vtp = _mm256_loadu_si256(
+                (const __m256i*)(tpv + (size_t)(j - 1) * DP_LANES));
+
+            const __m256i dgmm = _mm256_i32gather_epi32(mm, vtp, 4);
+            const __m256i dgmq = _mm256_i32gather_epi32(mq, vtp, 4);
+            const __m256i dgmt = _mm256_i32gather_epi32(mt, vtp, 4);
+            const __m256i dgqi = _mm256_i32gather_epi32(qi, vtp, 4);
+            const __m256i dgti = _mm256_i32gather_epi32(ti, vtp, 4);
+            const __m256i dgqe = _mm256_loadu_si256(
+                (const __m256i*)(qev + (size_t)(j - 1) * DP_LANES));
+
+            // M state (diagonal predecessors)
+            const __m256i a1 = _mm256_sub_epi32(
+                _mm256_max_epi32(diagM, zero), dgmm);
+            const __m256i a2 = _mm256_sub_epi32(
+                _mm256_max_epi32(diagIq, zero), dgmq);
+            const __m256i a3 = _mm256_sub_epi32(
+                _mm256_max_epi32(diagIt, zero), dgmt);
+            const __m256i lt12 = _mm256_cmpgt_epi32(a2, a1);  // a1 <  a2
+            const __m256i gt31 = _mm256_cmpgt_epi32(a3, a1);  // a1 <  a3
+            const __m256i gt32 = _mm256_cmpgt_epi32(a3, a2);  // a2 <  a3
+            const __m256i eq12 = _mm256_cmpeq_epi32(a1, a2);
+            const __m256i eq13 = _mm256_cmpeq_epi32(a1, a3);
+            const __m256i eq23 = _mm256_cmpeq_epi32(a2, a3);
+            const __m256i m = _mm256_max_epi32(a1, _mm256_max_epi32(a2, a3));
+            const __m256i case1 = _mm256_andnot_si256(
+                lt12, _mm256_andnot_si256(gt31, _mm256_set1_epi32(-1)));
+            const __m256i case2 = _mm256_andnot_si256(lt12, gt31);
+            const __m256i case3 = _mm256_andnot_si256(gt32, lt12);
+            const __m256i case4 = _mm256_and_si256(lt12, gt32);
+            __m256i mtrace = _mm256_and_si256(case1, _mm256_or_si256(
+                one, _mm256_or_si256(_mm256_and_si256(eq12, four),
+                                     _mm256_and_si256(eq13, two))));
+            mtrace = _mm256_or_si256(mtrace, _mm256_and_si256(
+                _mm256_or_si256(case2, case4), two));
+            mtrace = _mm256_or_si256(mtrace, _mm256_and_si256(
+                case3, _mm256_or_si256(four, _mm256_and_si256(eq23, two))));
+
+            // I_query state (left predecessors, current row)
+            const __m256i ins = _mm256_sub_epi32(
+                _mm256_max_epi32(mprev, zero), dgqi);
+            const __m256i ext = _mm256_sub_epi32(
+                _mm256_max_epi32(iqprev, zero), dgqe);
+            const __m256i ltq = _mm256_cmpgt_epi32(ext, ins);  // ins < ext
+            const __m256i eqq = _mm256_cmpeq_epi32(ins, ext);
+            const __m256i iq = _mm256_max_epi32(ins, ext);
+            __m256i iqtrace = _mm256_andnot_si256(ltq, _mm256_or_si256(
+                one, _mm256_and_si256(eqq, four)));
+            iqtrace = _mm256_or_si256(iqtrace, _mm256_and_si256(ltq, four));
+
+            // I_target state (up predecessors)
+            const __m256i ins2 = _mm256_sub_epi32(
+                _mm256_max_epi32(upM, zero), dgti);
+            const __m256i ext2 = _mm256_sub_epi32(
+                _mm256_max_epi32(upIt, zero), vte);
+            const __m256i ltt = _mm256_cmpgt_epi32(ext2, ins2);
+            const __m256i eqt = _mm256_cmpeq_epi32(ins2, ext2);
+            const __m256i it = _mm256_max_epi32(ins2, ext2);
+            __m256i ittrace = _mm256_andnot_si256(ltt, _mm256_or_si256(
+                one, _mm256_and_si256(eqt, two)));
+            ittrace = _mm256_or_si256(ittrace, _mm256_and_si256(ltt, two));
+
+            _mm256_storeu_si256((__m256i*)(Mv + (row + j) * DP_LANES), m);
+            _mm256_storeu_si256((__m256i*)(Iqv + (row + j) * DP_LANES), iq);
+            _mm256_storeu_si256((__m256i*)(Itv + (row + j) * DP_LANES), it);
+            pack_store_u8(Mtv + (row + j) * DP_LANES, mtrace);
+            pack_store_u8(Iqtv + (row + j) * DP_LANES, iqtrace);
+            pack_store_u8(Ittv + (row + j) * DP_LANES, ittrace);
+
+            diagM = upM; diagIq = upIq; diagIt = upIt;
+            mprev = m; iqprev = iq;
+        }
+    }
+}
+#endif  // x86_64
+
+// Portable lane-scalar fallback with identical arithmetic.
+void dp_batch_rows_scalar(MeltState& st, const QueryLUT& lut,
+                          const int32_t* tpv, const int32_t* qev, int t_len)
+{
+    const int q_len = st.q_len;
+    const int cols = st.cols;
+    for (int i = 1; i <= q_len; ++i) {
+        const size_t row = (size_t)i * cols;
+        const size_t prow = row - cols;
+        const int32_t* mm = &lut.mm[(size_t)(i - 1) * 324];
+        const int32_t* mq = &lut.mq[(size_t)(i - 1) * 324];
+        const int32_t* mt = &lut.mt[(size_t)(i - 1) * 324];
+        const int32_t* qi = &lut.qi[(size_t)(i - 1) * 324];
+        const int32_t* ti = &lut.ti[(size_t)(i - 1) * 324];
+        const int32_t te = lut.te[i - 1];
+        for (int j = 1; j <= t_len; ++j) {
+            for (int l = 0; l < DP_LANES; ++l) {
+                const int tp = tpv[(size_t)(j - 1) * DP_LANES + l];
+                const size_t c = (row + j) * DP_LANES + l;
+                const size_t d = (prow + j - 1) * DP_LANES + l;
+                const size_t u = (prow + j) * DP_LANES + l;
+                const size_t lft = (row + j - 1) * DP_LANES + l;
+                auto relu = [](Score x) { return x > 0 ? x : 0; };
+                const Score a1 = relu(st.M_[d]) - mm[tp];
+                const Score a2 = relu(st.Iq_[d]) - mq[tp];
+                const Score a3 = relu(st.It_[d]) - mt[tp];
+                Score m; uint8_t mtr;
+                if (a1 >= a2) {
+                    if (a1 >= a3) {
+                        m = a1; mtr = im1_jm1;
+                        if (a1 == a2) mtr |= i_jm1;
+                        if (a1 == a3) mtr |= im1_j;
+                    } else { m = a3; mtr = im1_j; }
+                } else {
+                    if (a2 >= a3) {
+                        m = a2; mtr = i_jm1;
+                        if (a2 == a3) mtr |= im1_j;
+                    } else { m = a3; mtr = im1_j; }
+                }
+                st.M_[c] = m; st.Mt_[c] = mtr;
+                const Score ins = relu(st.M_[lft]) - qi[tp];
+                const Score ext = relu(st.Iq_[lft])
+                    - qev[(size_t)(j - 1) * DP_LANES + l];
+                if (ins >= ext) {
+                    st.Iq_[c] = ins;
+                    st.Iqt_[c] = (uint8_t)(im1_jm1 | ((ins == ext) ? i_jm1 : 0));
+                } else { st.Iq_[c] = ext; st.Iqt_[c] = i_jm1; }
+                const Score ins2 = relu(st.M_[u]) - ti[tp];
+                const Score ext2 = relu(st.It_[u]) - te;
+                if (ins2 >= ext2) {
+                    st.It_[c] = ins2;
+                    st.Itt_[c] = (uint8_t)(im1_jm1 | ((ins2 == ext2) ? im1_j : 0));
+                } else { st.It_[c] = ext2; st.Itt_[c] = im1_j; }
+            }
+        }
+    }
+}
+
+bool dp_batch_avx2_available()
+{
+#ifdef TNT_HAVE_AVX2_DISPATCH
+    static const bool ok = __builtin_cpu_supports("avx2");
+    return ok;
+#else
+    return false;
+#endif
+}
+
+// Run the batched DP for n_lanes windows (same query already in st.qbuf,
+// same t_len).  Fills lane-interleaved matrices; reports per-lane
+// max_score and max_cells (linear cell indices, scan order — identical to
+// the scalar align_dimer collection, reference nuc_cruc.cpp:680-691).
+void align_dimer_batch(MeltState& st, const QueryLUT& lut,
+                       const uint8_t* const* targets, int t_len, int n_lanes,
+                       Score* max_scores,
+                       std::vector<int64_t>* max_cells)
+{
+    const int q_len = st.q_len;
+    ensure_dp_batch(st, q_len, t_len);
+    const int cols = st.cols;
+
+    // target-pair vector per (column, lane) + the query-independent
+    // gap-extension cost (both precomputable once per batch)
+    static thread_local std::vector<int32_t> tpv, qev;
+    tpv.resize((size_t)t_len * DP_LANES);
+    qev.resize((size_t)t_len * DP_LANES);
+    for (int j = 1; j <= t_len; ++j) {
+        for (int l = 0; l < DP_LANES; ++l) {
+            const uint8_t* t = targets[l < n_lanes ? l : 0];
+            const int pt = (j == 1) ? GAP : t[j - 2];
+            const int tb = t[j - 1];
+            const int tp = pt * NUM_ALPHA + tb;
+            tpv[(size_t)(j - 1) * DP_LANES + l] = tp;
+            qev[(size_t)(j - 1) * DP_LANES + l] = lut.qe[tp];
+        }
+    }
+
+#ifdef TNT_HAVE_AVX2_DISPATCH
+    if (dp_batch_avx2_available())
+        dp_batch_rows_avx2(st, lut, tpv.data(), qev.data(), t_len);
+    else
+#endif
+        dp_batch_rows_scalar(st, lut, tpv.data(), qev.data(), t_len);
+
+    // per-lane max collection, scan order
+    for (int l = 0; l < n_lanes; ++l) {
+        Score best = -1;
+        std::vector<int64_t>& cells = max_cells[l];
+        cells.clear();
+        for (int i = 1; i <= q_len; ++i) {
+            const size_t row = (size_t)i * cols;
+            for (int j = 1; j <= t_len; ++j) {
+                const Score m = st.M_[(row + j) * DP_LANES + l];
+                if (m >= best) {
+                    if (m > best) { best = m; cells.clear(); }
+                    cells.push_back((int64_t)(row + j));
+                }
+            }
+        }
+        max_scores[l] = best;
     }
 }
 
