@@ -59,10 +59,27 @@ def _combine_ct(c_a, c_b):
 
 def compute_secondary_tms(engine, hits, opt):
     """Per-hit hairpin/homodimer/heterodimer Tms
-    (reference tntblast_local.cpp:655-686)."""
+    (reference tntblast_local.cpp:655-686).
+
+    Results are memoized per (mode, oligo, [partner,] Ct): the Tm is a
+    pure function of those inputs, and the same assay oligos repeat for
+    every hit across every fragment."""
+    memo = getattr(engine, "_sec_tm_memo", None)
+    if memo is None:
+        memo = engine._sec_tm_memo = {}
     hp_q, hp_ct, hp_set = [], [], []
     ho_q, ho_ct, ho_set = [], [], []
     he_q, he_t, he_ct, he_set = [], [], [], []
+
+    def add(lists, key, codes, ct, h, attr):
+        got = memo.get(key)
+        if got is not None:
+            setattr(h, attr, got)
+            return
+        q, cts, st = lists
+        q.append(codes)
+        cts.append(ct)
+        st.append((h, attr, key))
 
     for h in hits:
         if h.has_primers():
@@ -70,40 +87,44 @@ def compute_secondary_tms(engine, hits, opt):
             r = native.seq_to_codes(h.reverse_oligo)
             fs = opt.forward_primer_strand
             rs = opt.reverse_primer_strand
-            hp_q.append(f); hp_ct.append(_combine_ct(fs, fs))
-            hp_set.append((h, "forward_hairpin_tm"))
-            ho_q.append(f); ho_ct.append(_combine_ct(fs, fs))
-            ho_set.append((h, "forward_dimer_tm"))
-            hp_q.append(r); hp_ct.append(_combine_ct(rs, rs))
-            hp_set.append((h, "reverse_hairpin_tm"))
-            ho_q.append(r); ho_ct.append(_combine_ct(rs, rs))
-            ho_set.append((h, "reverse_dimer_tm"))
-            he_q.append(f); he_t.append(r)
-            he_ct.append(_combine_ct(fs, rs))
-            he_set.append((h, "primer_dimer_tm"))
+            cf = _combine_ct(fs, fs)
+            cr = _combine_ct(rs, rs)
+            add((hp_q, hp_ct, hp_set), ("hp", h.forward_oligo, cf), f, cf,
+                h, "forward_hairpin_tm")
+            add((ho_q, ho_ct, ho_set), ("ho", h.forward_oligo, cf), f, cf,
+                h, "forward_dimer_tm")
+            add((hp_q, hp_ct, hp_set), ("hp", h.reverse_oligo, cr), r, cr,
+                h, "reverse_hairpin_tm")
+            add((ho_q, ho_ct, ho_set), ("ho", h.reverse_oligo, cr), r, cr,
+                h, "reverse_dimer_tm")
+            cfr = _combine_ct(fs, rs)
+            got = memo.get(("he", h.forward_oligo, h.reverse_oligo, cfr))
+            if got is not None:
+                h.primer_dimer_tm = got
+            else:
+                he_q.append(f); he_t.append(r); he_ct.append(cfr)
+                he_set.append((h, "primer_dimer_tm",
+                               ("he", h.forward_oligo, h.reverse_oligo, cfr)))
         if h.has_probe():
             p = native.seq_to_codes(h.probe_oligo)
             ps = opt.probe_strand
-            hp_q.append(p); hp_ct.append(_combine_ct(ps, ps))
-            hp_set.append((h, "probe_hairpin_tm"))
-            ho_q.append(p); ho_ct.append(_combine_ct(ps, ps))
-            ho_set.append((h, "probe_dimer_tm"))
+            cp = _combine_ct(ps, ps)
+            add((hp_q, hp_ct, hp_set), ("hp", h.probe_oligo, cp), p, cp,
+                h, "probe_hairpin_tm")
+            add((ho_q, ho_ct, ho_set), ("ho", h.probe_oligo, cp), p, cp,
+                h, "probe_dimer_tm")
 
-    if hp_q:
-        out = engine.eval_batch(native.HAIRPIN, hp_q, None,
-                                np.asarray(hp_ct, dtype=np.float32))
-        for k, (h, attr) in enumerate(hp_set):
-            setattr(h, attr, float(out["tm"][k]))
-    if ho_q:
-        out = engine.eval_batch(native.HOMO, ho_q, None,
-                                np.asarray(ho_ct, dtype=np.float32))
-        for k, (h, attr) in enumerate(ho_set):
-            setattr(h, attr, float(out["tm"][k]))
-    if he_q:
-        out = engine.eval_batch(native.HETERO, he_q, he_t,
-                                np.asarray(he_ct, dtype=np.float32))
-        for k, (h, attr) in enumerate(he_set):
-            setattr(h, attr, float(out["tm"][k]))
+    for mode, q, t, cts, sets in (
+            (native.HAIRPIN, hp_q, None, hp_ct, hp_set),
+            (native.HOMO, ho_q, None, ho_ct, ho_set),
+            (native.HETERO, he_q, he_t, he_ct, he_set)):
+        if not q:
+            continue
+        out = engine.eval_batch(mode, q, t, np.asarray(cts, dtype=np.float32))
+        for k, (h, attr, key) in enumerate(sets):
+            tm = float(out["tm"][k])
+            memo[key] = tm
+            setattr(h, attr, tm)
 
 
 class ProgressDisplay:

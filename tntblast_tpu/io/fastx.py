@@ -219,36 +219,45 @@ class SequenceDatabase:
         """Return (defline, base codes uint8 array) for bases [start, stop].
 
         stop < 0 means the whole record.  Whitespace, '*' and '-' are
-        skipped before indexing (reference fastx:366).
+        skipped before indexing (reference fastx:366).  The parsed record
+        is cached so consecutive fragment reads of the same target slice
+        without re-parsing.
         """
-        rec = self.data[self.offsets[idx]:self.offsets[idx + 1]]
-        p = 1
-        while p < len(rec) and chr(rec[p]).isspace():
-            p += 1
-        e = p
-        while e < len(rec) and rec[e] not in (10, 13):
-            e += 1
-        defline = rec[p:e].decode("latin1")
-
-        if self.format == self.FASTQ:
-            # sequence is the single line after the defline
-            s = e
-            while s < len(rec) and rec[s] in (10, 13):
-                s += 1
-            e2 = s
-            while e2 < len(rec) and rec[e2] not in (10, 13):
-                e2 += 1
-            body = np.frombuffer(rec[s:e2], dtype=np.uint8)
+        cached = getattr(self, "_read_cache", None)
+        if cached is not None and cached[0] == idx:
+            _, defline, codes = cached
         else:
-            body = np.frombuffer(rec[e:], dtype=np.uint8)
+            rec = self.data[self.offsets[idx]:self.offsets[idx + 1]]
+            p = 1
+            while p < len(rec) and chr(rec[p]).isspace():
+                p += 1
+            e = p
+            while e < len(rec) and rec[e] not in (10, 13):
+                e += 1
+            defline = rec[p:e].decode("latin1")
 
-        # Drop whitespace / '*' / '-'
-        keep = ~((body == ord(" ")) | (body == ord("\t")) | (body == ord("\n"))
-                 | (body == ord("\r")) | (body == 11) | (body == 12)
-                 | (body == ord("*")) | (body == ord("-")))
-        bases = body[keep]
+            if self.format == self.FASTQ:
+                # sequence is the single line after the defline
+                s = e
+                while s < len(rec) and rec[s] in (10, 13):
+                    s += 1
+                e2 = s
+                while e2 < len(rec) and rec[e2] not in (10, 13):
+                    e2 += 1
+                body = np.frombuffer(rec[s:e2], dtype=np.uint8)
+            else:
+                body = np.frombuffer(rec[e:], dtype=np.uint8)
+
+            # Drop whitespace / '*' / '-'
+            keep = ~((body == ord(" ")) | (body == ord("\t"))
+                     | (body == ord("\n")) | (body == ord("\r"))
+                     | (body == 11) | (body == 12)
+                     | (body == ord("*")) | (body == ord("-")))
+            codes = ASCII_TO_DB[body[keep]]
+            self._read_cache = (idx, defline, codes)
+
         if stop is not None and stop >= 0:
-            bases = bases[start:stop + 1]
-        elif start:
-            bases = bases[start:]
-        return defline, ASCII_TO_DB[bases]
+            return defline, codes[start:stop + 1]
+        if start:
+            return defline, codes[start:]
+        return defline, codes
