@@ -11,16 +11,16 @@
 // Ordering contracts: the reference keeps oligo_info records in
 // std::list and sorts with std::list::sort under comparators that are
 // not all strict weak orders (sort_by_oligo_loc switches keys between
-// bound and unbound entries, amplicon_search.cpp:12-26).  This file is
-// compiled with libstdc++, so std::list::sort IS the reference
-// algorithm — hit order is reproduced by construction.
+// bound and unbound entries, amplicon_search.cpp:12-26).  Records here
+// live in flat vectors (no per-node allocation), sorted with an explicit
+// port of libstdc++'s binary-counter mergesort (list_sort_vec below) so
+// the output permutation is the reference's for ANY comparator.
 //
 // This translation unit #includes melt_engine.cpp (anonymous-namespace
 // internals are shared); the build compiles only this file.
 
 #include "melt_engine.cpp"
 
-#include <list>
 #include <unordered_map>
 #include <algorithm>
 #include <cstdint>
@@ -88,6 +88,55 @@ inline bool oligo_loc_less(const OligoInfoC& a, const OligoInfoC& b)
         return a.target_loc < b.target_loc;
     if (a.loc_5 == b.loc_5) return a.loc_3 < b.loc_3;
     return a.loc_5 < b.loc_5;
+}
+
+// libstdc++ std::list::sort (binary-counter bottom-up mergesort; ties in
+// merge keep the first operand) realized over flat vectors.  The output
+// permutation — not merely a sorted order — is the hit-list contract,
+// because sort_by_oligo_loc is not a strict weak order (see
+// utils/listsort.py for the verified Python port this mirrors).
+using OligoVec = std::vector<OligoInfoC>;
+
+template <class Less>
+void list_merge_vec(OligoVec& a, OligoVec& b, OligoVec& out, Less less)
+{
+    out.clear();
+    size_t i = 0, j = 0;
+    const size_t na = a.size(), nb = b.size();
+    while (i < na && j < nb) {
+        if (less(b[j], a[i])) out.push_back(std::move(b[j++]));
+        else out.push_back(std::move(a[i++]));
+    }
+    while (i < na) out.push_back(std::move(a[i++]));
+    while (j < nb) out.push_back(std::move(b[j++]));
+}
+
+template <class Less>
+void list_sort_vec(OligoVec& items, Less less)
+{
+    if (items.size() < 2) return;
+    std::vector<OligoVec> counter;
+    OligoVec carry, tmp;
+    for (auto& x : items) {
+        carry.clear();
+        carry.push_back(std::move(x));
+        size_t i = 0;
+        while (i < counter.size() && !counter[i].empty()) {
+            list_merge_vec(counter[i], carry, tmp, less);
+            carry.swap(tmp);
+            counter[i].clear();
+            ++i;
+        }
+        if (i == counter.size()) counter.emplace_back(std::move(carry));
+        else counter[i].swap(carry);
+    }
+    OligoVec result;
+    for (auto& run : counter) {
+        if (run.empty()) continue;
+        list_merge_vec(run, result, tmp, less);
+        result.swap(tmp);
+    }
+    items.swap(result);
 }
 
 // ---------------------------------------------------------------------------
@@ -328,7 +377,7 @@ static void window_codes(const FragCtx& ctx, int64_t start, int64_t stop,
 // control flow mirrored from search/bind.py:222-330).
 //   oligo_mask < 0: direct-from-seed variant.
 //   oligo_mask >= 0: consume pre-matched entries from info_list.
-static void bind_oligo(FragCtx& ctx, std::list<OligoInfoC>& info_list,
+static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
                        const std::vector<uint8_t>* oligo,
                        bool minus, float strand_conc, const Filt& filt,
                        int oligo_mask, bool use_cache)
@@ -341,13 +390,14 @@ static void bind_oligo(FragCtx& ctx, std::list<OligoInfoC>& info_list,
     MeltCache& cache = use_cache
         ? (minus ? ctx.cache_minus : ctx.cache_plus) : local_cache;
 
-    std::list<OligoInfoC> entries;
-    std::list<OligoInfoC> keep_rest;
+    OligoVec entries;
+    OligoVec keep_rest;
     const bool direct = oligo_mask < 0;
 
     if (direct) {
         std::vector<std::pair<int64_t, int64_t>> seeds;
         unique_diagonal_seeds(ctx.index, *oligo, !minus, seeds);
+        entries.reserve(seeds.size());
         for (const auto& s : seeds)
             entries.emplace_back((unsigned)s.first, (unsigned)s.second, 0);
     } else {
@@ -355,10 +405,12 @@ static void bind_oligo(FragCtx& ctx, std::list<OligoInfoC>& info_list,
             (unsigned char)(oligo_mask | (minus ? OM_MINUS : OM_PLUS));
         for (auto& e : info_list) {
             if ((e.mask & want) == want)
-                entries.push_front(std::move(e));   // reference push_front
+                entries.push_back(std::move(e));
             else
                 keep_rest.push_back(std::move(e));
         }
+        // reference push_front: matching entries end up in reverse order
+        std::reverse(entries.begin(), entries.end());
         info_list.clear();
     }
 
@@ -518,7 +570,7 @@ static void bind_oligo(FragCtx& ctx, std::list<OligoInfoC>& info_list,
     }
 
     // Survivor pass (filter cascade against cached values)
-    std::list<OligoInfoC> survivors;
+    OligoVec survivors;
     {
         auto eit = entries.begin();
         auto kit = keys.begin();
@@ -548,17 +600,17 @@ static void bind_oligo(FragCtx& ctx, std::list<OligoInfoC>& info_list,
     if (direct) {
         info_list.clear();
         if (survivors.empty()) return;
-        survivors.sort(bound_less);
+        list_sort_vec(survivors, bound_less);
     } else {
         if (survivors.empty()) {
             info_list = std::move(keep_rest);
             return;
         }
-        survivors.sort(bound_match_less);
+        list_sort_vec(survivors, bound_match_less);
     }
 
     // dedupe keeping highest-Tm per (loc_5, loc_3) — consecutive after sort
-    std::list<OligoInfoC> out = std::move(keep_rest);
+    OligoVec out = std::move(keep_rest);
     auto sit = survivors.begin();
     out.push_back(std::move(*sit));
     ++sit;
@@ -571,7 +623,7 @@ static void bind_oligo(FragCtx& ctx, std::list<OligoInfoC>& info_list,
 }
 
 // match_oligo_to_{minus,plus}_strand (reference bind_oligo.cpp:84-122)
-static void match_oligo(FragCtx& ctx, std::list<OligoInfoC>& info_list,
+static void match_oligo(FragCtx& ctx, OligoVec& info_list,
                         const std::vector<uint8_t>* oligo,
                         unsigned char mask, bool minus)
 {
@@ -587,13 +639,13 @@ static void match_oligo(FragCtx& ctx, std::list<OligoInfoC>& info_list,
 // cull_oligo_match (reference amplicon_search.cpp:679-765; semantics
 // mirrored from search/assays.py:27-75 including the one-ahead strand
 // counting quirk).
-static void cull_oligo_match(std::list<OligoInfoC>& match_list,
+static void cull_oligo_match(OligoVec& match_list,
                              int max_amplicon_len, bool has_probe,
                              bool single_primer_pcr,
                              unsigned* n_minus, unsigned* n_plus)
 {
     const unsigned threshold = (unsigned)(max_amplicon_len + 50);
-    match_list.sort(oligo_loc_less);
+    list_sort_vec(match_list, oligo_loc_less);
     std::vector<OligoInfoC*> items;
     items.reserve(match_list.size());
     for (auto& e : match_list) {
@@ -629,8 +681,13 @@ static void cull_oligo_match(std::list<OligoInfoC>& match_list,
         }
     }
 
-    for (auto it = match_list.begin(); it != match_list.end();)
-        it = (it->mask & OM_VALID) ? ++it : match_list.erase(it);
+    {
+        OligoVec kept;
+        kept.reserve(match_list.size());
+        for (auto& e : match_list)
+            if (e.mask & OM_VALID) kept.push_back(std::move(e));
+        match_list.swap(kept);
+    }
 
     if (n_minus) {
         // reference post-increment read: count the NEXT element's strand
@@ -689,7 +746,7 @@ static void search_amplicon(FragCtx& ctx, const AssayParams& ap)
 {
     const bool has_probe = ap.prb != nullptr;
     const bool apply_mmc = ap.min_max_primer_clamp >= 0;
-    std::list<OligoInfoC> match_list;
+    OligoVec match_list;
 
     match_oligo(ctx, match_list, ap.fwd, OM_F, true);
     match_oligo(ctx, match_list, ap.rev, OM_R, true);
@@ -745,7 +802,7 @@ static void search_amplicon(FragCtx& ctx, const AssayParams& ap)
                    ap.probe_filt, OM_P, true);
     }
 
-    match_list.sort(oligo_loc_less);
+    list_sort_vec(match_list, oligo_loc_less);
     std::vector<OligoInfoC*> items;
     items.reserve(match_list.size());
     for (auto& e : match_list) items.push_back(&e);
@@ -808,7 +865,7 @@ static void search_hybrid(FragCtx& ctx, const AssayParams& ap)
         const bool minus = (pass == 0);
         if (minus && !(ap.target_strand & 2)) continue;
         if (!minus && !(ap.target_strand & 1)) continue;
-        std::list<OligoInfoC> bound;
+        OligoVec bound;
         bind_oligo(ctx, bound, ap.prb, minus, ap.pconc, ap.probe_filt,
                    -1, /*use_cache=*/false);
         for (const auto& e : bound) {
@@ -837,7 +894,7 @@ static void search_padlock(FragCtx& ctx, const AssayParams& ap)
         const bool minus = (pass == 0);
         if (minus && !(ap.target_strand & 2)) continue;
         if (!minus && !(ap.target_strand & 1)) continue;
-        std::list<OligoInfoC> upstream, downstream;
+        OligoVec upstream, downstream;
         bind_oligo(ctx, upstream, ap.rev, minus, ap.rconc, up_filt,
                    -1, true);
         bind_oligo(ctx, downstream, ap.fwd, minus, ap.fconc, down_filt,
