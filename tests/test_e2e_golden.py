@@ -82,3 +82,25 @@ def test_golden_config_threaded(name, tmp_path, monkeypatch):
     got_out = out_file.read_text() if out_file.exists() else ""
     want_out = (GOLD / f"{name}.out").read_text()
     assert got_out == want_out, f"threaded output mismatch for {name}"
+
+
+@pytest.mark.parametrize("name", ["pcr_small", "taqman", "probe_small"])
+def test_golden_config_device_screen(name, tmp_path, monkeypatch):
+    """--tpu-screen (Pallas screening kernel + native verdicts) must be
+    output-invariant: screening is provably conservative."""
+    from tntblast_tpu import cli
+
+    args = (GOLD / f"{name}.cmd").read_text().split()
+    out_file = tmp_path / f"{name}.out"
+    args += ["-o", str(out_file), "--tpu-screen", "T"]
+
+    monkeypatch.chdir(DATA)
+    monkeypatch.setenv("TNTBLAST_TPU_THREADS", "1")
+
+    stdout = io.StringIO()
+    ret = cli.local_main(args, stdout=stdout)
+    assert ret == 0
+
+    got_out = out_file.read_text() if out_file.exists() else ""
+    want_out = (GOLD / f"{name}.out").read_text()
+    assert got_out == want_out, f"device-screen output mismatch for {name}"

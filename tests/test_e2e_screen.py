@@ -45,7 +45,7 @@ def test_screen_prunes_random_background(tmp_path, monkeypatch):
     import random
 
     from tntblast_tpu import cli
-    from tntblast_tpu import screen as screen_mod
+    from tntblast_tpu.parallel import screen_service as svc_mod
 
     rng = random.Random(1)
     db = tmp_path / "rand.fna"
@@ -53,14 +53,15 @@ def test_screen_prunes_random_background(tmp_path, monkeypatch):
                   + "".join(rng.choice("ACGT") for _ in range(100000)) + "\n")
 
     stats = {}
-    orig_init = screen_mod.TpuScreen.__init__
+    orig_init = svc_mod.DeviceScreenService.__init__
 
     def spy_init(self, *a, **k):
         orig_init(self, *a, **k)
         stats["obj"] = self
 
-    monkeypatch.setattr(screen_mod.TpuScreen, "__init__", spy_init)
+    monkeypatch.setattr(svc_mod.DeviceScreenService, "__init__", spy_init)
     monkeypatch.chdir(DATA)
+    monkeypatch.setenv("TNTBLAST_TPU_THREADS", "1")
     out_file = tmp_path / "o.out"
     ret = cli.local_main(
         ["-i", "assay_pcr.txt", "-d", str(db), "-A", "PCR",
@@ -68,6 +69,5 @@ def test_screen_prunes_random_background(tmp_path, monkeypatch):
          "--tpu-screen", "T", "-v", "F"], stdout=io.StringIO())
     assert ret == 0
     s = stats["obj"].stats
-    total = s["screened"] + s["kept"]
-    assert total > 0
-    assert s["screened"] >= 0.6 * total, s
+    assert s["candidates"] > 0, s
+    assert s["screened"] >= 0.6 * s["candidates"], s

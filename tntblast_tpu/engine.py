@@ -207,7 +207,8 @@ def _fragment_work_items(opt, db):
     return items, fragment_target
 
 
-def _run_search_parallel(opt, db, engine, stdout, n_threads):
+def _run_search_parallel(opt, db, engine, stdout, n_threads,
+                         screen_svc=None):
     """Threaded fragment loop: work items run on a host thread pool (the
     C++ search releases the GIL); results are spliced in sequential work-
     item order so the hit list is identical to the 1-thread run
@@ -235,7 +236,7 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads):
             # too small to hash (reference tntblast_local.cpp:513-529)
             return None
         ctx = NativeFragContext(engine, seq_codes, opt.hash_word_size,
-                                defline)
+                                defline, screen_service=screen_svc)
         per_sig = []
         for sig in opt.sig_list:
             local_results = search_assay(ctx, sig, opt)
@@ -299,13 +300,17 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
     # segmentation never triggers at num_worker == 1 (query_sched,
     # reference tntblast_util.cpp:1793-1844), so the parallel loop only
     # needs the fragment axis; forced segmentation (--query-seg T) and the
-    # device-screen paths use the sequential loop below.
+    # legacy device-panel path use the sequential loop below.
     if (not getattr(opt, "tpu_frag", False)
-            and not getattr(opt, "tpu_screen", False)
             and opt.query_segmentation != C.QUERY_SEGMENTATION_ON
             and getattr(engine, "n_threads", 1) > 1):
+        svc = None
+        if getattr(opt, "tpu_screen", False):
+            from tntblast_tpu.parallel.screen_service import (
+                DeviceScreenService)
+            svc = DeviceScreenService(opt, engine)
         return _run_search_parallel(opt, db, engine, stdout,
-                                    engine.n_threads)
+                                    engine.n_threads, screen_svc=svc)
 
     num_sig = len(opt.sig_list)
     num_seq = db.size()
@@ -332,13 +337,13 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
 
     screen = None
     panel_mgr = None
+    screen_svc = None
     if getattr(opt, "tpu_frag", False):
         from tntblast_tpu.parallel.panel import FragmentPanelManager
         panel_mgr = FragmentPanelManager(opt, engine)
     elif getattr(opt, "tpu_screen", False):
-        from tntblast_tpu.screen import TpuScreen
-        screen = TpuScreen(
-            engine, dangle=opt.allow_dangle_5 or opt.allow_dangle_3)
+        from tntblast_tpu.parallel.screen_service import DeviceScreenService
+        screen_svc = DeviceScreenService(opt, engine)
 
     progress = ProgressDisplay(stdout, opt.verbose)
     progress.start()
@@ -408,10 +413,12 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
                 continue
             if ctx is not None and isinstance(ctx, NativeFragContext):
                 ctx.close()
-            if panel_mgr is None and screen is None:
-                # default fast path: native per-fragment search
+            if panel_mgr is None:
+                # default fast path: native per-fragment search (with
+                # optional device screening)
                 ctx = NativeFragContext(engine, seq_codes,
-                                        opt.hash_word_size, defline)
+                                        opt.hash_word_size, defline,
+                                        screen_service=screen_svc)
             else:
                 panel_seeds = (panel_mgr.run_fragment(seq_codes)
                                if panel_mgr is not None else None)

@@ -85,6 +85,15 @@ def _load():
     lib.tnt_frag_align_bytes.argtypes = [ctypes.c_void_p]
     lib.tnt_frag_fetch.argtypes = [
         ctypes.c_void_p, _i32p, _f32p, ctypes.c_char_p, _i64p]
+    lib.tnt_frag_candidates.restype = ctypes.c_int64
+    lib.tnt_frag_candidates.argtypes = [
+        ctypes.c_void_p, _u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        _i32p, _u8p, _u8p, ctypes.c_int64]
+    lib.tnt_frag_set_verdicts.argtypes = [
+        ctypes.c_void_p, _u8p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        _i32p, _u8p, ctypes.c_int64]
+    lib.tnt_frag_stats.argtypes = [ctypes.c_void_p, _i64p, _i64p]
     return lib
 
 
@@ -325,3 +334,39 @@ class FragSearch:
         aligns = [raw[off[i]:off[i + 1]].decode("latin1")
                   for i in range(3 * n)]
         return ints, floats, aligns
+
+    def candidates(self, oligo_codes, minus, wt_max):
+        """Candidate windows of one (oligo, strand) slot for device
+        screening: (starts[n] int32, eligible[n] uint8,
+        windows[n, wt_max] int8 — oriented, pad=4)."""
+        oc = np.ascontiguousarray(oligo_codes, dtype=np.uint8)
+        empty_i = np.zeros(0, np.int32)
+        empty_b = np.zeros(0, np.uint8)
+        n = self._lib.tnt_frag_candidates(
+            self._h, oc, len(oc), int(bool(minus)), int(wt_max),
+            empty_i, empty_b, empty_b, 0)
+        if n == 0:
+            return (np.zeros(0, np.int32), np.zeros(0, np.uint8),
+                    np.zeros((0, wt_max), np.int8))
+        starts = np.zeros(n, np.int32)
+        elig = np.zeros(n, np.uint8)
+        win = np.zeros((n, wt_max), np.uint8)
+        self._lib.tnt_frag_candidates(
+            self._h, oc, len(oc), int(bool(minus)), int(wt_max),
+            starts, elig, win.reshape(-1), n)
+        return starts, elig, win.view(np.int8)
+
+    def set_verdicts(self, oligo_codes, minus, min_tm, max_dg, conc,
+                     starts, flags):
+        oc = np.ascontiguousarray(oligo_codes, dtype=np.uint8)
+        self._lib.tnt_frag_set_verdicts(
+            self._h, oc, len(oc), int(bool(minus)),
+            np.float32(min_tm), np.float32(max_dg), np.float32(conc),
+            np.ascontiguousarray(starts, dtype=np.int32),
+            np.ascontiguousarray(flags, dtype=np.uint8), len(starts))
+
+    def stats(self):
+        a = np.zeros(1, np.int64)
+        b = np.zeros(1, np.int64)
+        self._lib.tnt_frag_stats(self._h, a, b)
+        return {"screened": int(a[0]), "evaluated": int(b[0])}

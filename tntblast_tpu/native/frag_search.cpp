@@ -276,6 +276,28 @@ struct CacheVal {
     int target_5 = 0, target_3 = 0;
     int num_mm = 0, num_gap = 0, max_poly_degen = 0;
     std::string align;
+    // Device-screen stub (screen.py ScreenStub): records the filter bounds
+    // the conservative proof was run against; lookups under *weaker*
+    // bounds must re-evaluate instead of reusing the proof.
+    bool stub = false;
+    bool stub_fail_tm = false, stub_fail_dg = false;
+    float stub_min_tm = 0, stub_max_dg = 0, stub_conc = 0;
+
+    bool stub_covers(const Filt& filt, float conc) const
+    {
+        if (stub_fail_tm && conc == stub_conc && filt.min_tm >= stub_min_tm)
+            return true;
+        if (stub_fail_dg && filt.max_dg <= stub_max_dg)
+            return true;
+        return false;
+    }
+};
+
+// Screening verdicts for one (oligo, strand) slot, keyed by window start
+// (parallel/screen_service.py attaches them before the assay searches).
+struct VerdictSlot {
+    float min_tm = 0, max_dg = 0, conc = 0;
+    std::unordered_map<int64_t, uint8_t> flags;   // bit0 fail_tm, bit1 fail_dg
 };
 
 struct CacheKey {
@@ -349,11 +371,35 @@ struct FragCtx {
     MeltCache cache_plus, cache_minus;
     OligoIntern intern;
     std::unordered_map<const void*, QueryLUT> lut_cache;  // per oligo
+    // (oligo, minus) -> seeds: computed for candidate export, reused by
+    // the search (identical enumeration both times)
+    std::unordered_map<const void*,
+        std::vector<std::pair<int64_t, int64_t>>> seed_cache[2];
+    std::unordered_map<const void*, VerdictSlot> verdicts[2];
     std::vector<HitRec> hits;    // results of the last search call
     int64_t align_bytes = 0;
+    int64_t screened = 0, evaluated = 0;   // observability counters
 
     ~FragCtx() { delete st; }
 };
+
+// Cached unique-diagonal seeds per (oligo, strand)
+struct FragCtx;
+static const std::vector<std::pair<int64_t, int64_t>>& cached_seeds(
+    FragCtx& ctx, const std::vector<uint8_t>* oligo, bool minus);
+
+static const std::vector<std::pair<int64_t, int64_t>>& cached_seeds(
+    FragCtx& ctx, const std::vector<uint8_t>* oligo, bool minus)
+{
+    auto& m = ctx.seed_cache[minus ? 1 : 0];
+    auto it = m.find(oligo);
+    if (it == m.end()) {
+        std::vector<std::pair<int64_t, int64_t>> seeds;
+        unique_diagonal_seeds(ctx.index, *oligo, !minus, seeds);
+        it = m.emplace(oligo, std::move(seeds)).first;
+    }
+    return it->second;
+}
 
 // window_codes (search/bind.py:121-127)
 static void window_codes(const FragCtx& ctx, int64_t start, int64_t stop,
@@ -395,8 +441,7 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
     const bool direct = oligo_mask < 0;
 
     if (direct) {
-        std::vector<std::pair<int64_t, int64_t>> seeds;
-        unique_diagonal_seeds(ctx.index, *oligo, !minus, seeds);
+        const auto& seeds = cached_seeds(ctx, oligo, minus);
         entries.reserve(seeds.size());
         for (const auto& s : seeds)
             entries.emplace_back((unsigned)s.first, (unsigned)s.second, 0);
@@ -483,21 +528,60 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
 
     // Collect unevaluated windows (deduped; first occurrence wins, as in
     // the incremental evaluation order)
+    const VerdictSlot* vs = nullptr;
+    if (use_cache) {
+        auto vit = ctx.verdicts[minus ? 1 : 0].find(oligo);
+        if (vit != ctx.verdicts[minus ? 1 : 0].end()) vs = &vit->second;
+    }
+
     struct MissItem { Key key; std::vector<uint8_t> win; };
     std::vector<MissItem> misses;
     std::unordered_map<int64_t, bool> pending;
     for (const auto& kk : keys) {
         const CacheKey ck{oligo, kk.start, kk.stop};
-        if (cache.find(ck) != cache.end()) continue;
+        auto cit = cache.find(ck);
+        if (cit != cache.end()) {
+            if (!cit->second.stub) continue;
+            if (cit->second.stub_covers(filt, strand_conc)) continue;
+            cache.erase(cit);   // stale proof: re-evaluate exactly
+        }
         // window width <= MAX_SEQUENCE_LENGTH + 8 < 4096, so this packing
         // is collision-free
         const int64_t pk = (kk.start << 12) | (kk.stop - kk.start);
         if (!pending.emplace(pk, true).second) continue;
+
+        // Device-screen verdict: a provably hit-free window becomes a
+        // stub cache entry instead of an exact evaluation (screen.py
+        // soundness argument; stubs never satisfy the filter cascade).
+        if (vs != nullptr) {
+            auto fit = vs->flags.find(kk.start);
+            if (fit != vs->flags.end()) {
+                const bool fail_tm = fit->second & 1;
+                const bool fail_dg = fit->second & 2;
+                const bool cov =
+                    (fail_tm && strand_conc == vs->conc
+                     && filt.min_tm >= vs->min_tm)
+                    || (fail_dg && filt.max_dg <= vs->max_dg);
+                if (cov) {
+                    CacheVal v;
+                    v.stub = true;
+                    v.stub_fail_tm = fail_tm;
+                    v.stub_fail_dg = fail_dg;
+                    v.stub_min_tm = vs->min_tm;
+                    v.stub_max_dg = vs->max_dg;
+                    v.stub_conc = vs->conc;
+                    cache.emplace(ck, std::move(v));
+                    ++ctx.screened;
+                    continue;
+                }
+            }
+        }
         MissItem mi;
         mi.key = kk;
         window_codes(ctx, kk.start, kk.stop, minus, mi.win);
         misses.push_back(std::move(mi));
     }
+    ctx.evaluated += (int64_t)misses.size();
 
     if (!misses.empty()) {
         st.set_query(oligo->data(), (int)oligo->size());
@@ -577,6 +661,7 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
         for (; eit != entries.end(); ++eit, ++kit) {
             const CacheKey ck{oligo, kit->start, kit->stop};
             const CacheVal& v = cache.find(ck)->second;
+            if (v.stub) continue;   // screened out (provably hit-free)
             if (v.tm < filt.min_tm || v.tm > filt.max_tm) continue;
             if (v.dg < filt.min_dg || v.dg > filt.max_dg) continue;
             if (v.anchor_5 < filt.clamp_5 || v.anchor_3 < filt.clamp_3)
@@ -627,8 +712,7 @@ static void match_oligo(FragCtx& ctx, OligoVec& info_list,
                         const std::vector<uint8_t>* oligo,
                         unsigned char mask, bool minus)
 {
-    std::vector<std::pair<int64_t, int64_t>> seeds;
-    unique_diagonal_seeds(ctx.index, *oligo, !minus, seeds);
+    const auto& seeds = cached_seeds(ctx, oligo, minus);
     const unsigned char strand =
         (unsigned char)(minus ? OM_MINUS : OM_PLUS);
     for (const auto& s : seeds)
@@ -1007,6 +1091,77 @@ int64_t tnt_frag_search(
 int64_t tnt_frag_align_bytes(void* ctx_ptr)
 {
     return ((FragCtx*)ctx_ptr)->align_bytes;
+}
+
+// Export the candidate windows of one (oligo, strand) slot for device
+// screening: the exact seed list the search will use (cached, so the two
+// enumerations are identical).  For each seed: starts_out = plus-strand
+// window start; elig_out = 1 when the device may screen it (full-length,
+// pure-ACGT window); windows_out rows hold the oriented window codes
+// padded to wt_max with 4 (the kernel's HUGE-cost pad letter).
+// Returns the seed count (call with cap=0 to size buffers).
+int64_t tnt_frag_candidates(void* ctx_ptr, const uint8_t* oligo_codes,
+                            int olen, int minus, int wt_max,
+                            int32_t* starts_out, uint8_t* elig_out,
+                            uint8_t* windows_out, int64_t cap)
+{
+    FragCtx& ctx = *(FragCtx*)ctx_ptr;
+    const std::vector<uint8_t>* oligo = ctx.intern.get(oligo_codes, olen);
+    const auto& seeds = cached_seeds(ctx, oligo, minus != 0);
+    const int64_t n = (int64_t)seeds.size();
+    if (cap < n) return n;
+
+    const int64_t seq_size = (int64_t)ctx.seq.size();
+    const int wt = olen + 2 * NUM_FLANK_BASE_C;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t q = seeds[i].first, t = seeds[i].second;
+        int64_t start = t - (q + NUM_FLANK_BASE_C);
+        bool ok = start >= 0 && start + wt <= seq_size && wt <= wt_max;
+        if (start < 0) start = 0;
+        int64_t stop = std::min(start + wt, seq_size);
+        starts_out[i] = (int32_t)start;
+        if (ok) {
+            for (int64_t j = start; j < stop; ++j)
+                if (ctx.seq[j] > DB_MAX_ATGC_C) { ok = false; break; }
+        }
+        elig_out[i] = ok ? 1 : 0;
+        uint8_t* row = windows_out + i * wt_max;
+        std::memset(row, 4, (size_t)wt_max);
+        if (ok) {
+            if (minus) {
+                for (int k = 0; k < wt; ++k)
+                    row[k] = (uint8_t)(3 - ctx.seq[stop - 1 - k]);
+            } else {
+                std::memcpy(row, ctx.seq.data() + start, (size_t)wt);
+            }
+        }
+    }
+    return n;
+}
+
+// Attach device-screen verdicts for one slot (flags: bit0 fail_tm,
+// bit1 fail_dg — only provably hit-free candidates need entries).
+void tnt_frag_set_verdicts(void* ctx_ptr, const uint8_t* oligo_codes,
+                           int olen, int minus,
+                           float min_tm, float max_dg, float conc,
+                           const int32_t* starts, const uint8_t* flags,
+                           int64_t n)
+{
+    FragCtx& ctx = *(FragCtx*)ctx_ptr;
+    const std::vector<uint8_t>* oligo = ctx.intern.get(oligo_codes, olen);
+    VerdictSlot& vs = ctx.verdicts[minus ? 1 : 0][oligo];
+    vs.min_tm = min_tm;
+    vs.max_dg = max_dg;
+    vs.conc = conc;
+    for (int64_t i = 0; i < n; ++i)
+        if (flags[i]) vs.flags[starts[i]] = flags[i];
+}
+
+void tnt_frag_stats(void* ctx_ptr, int64_t* screened, int64_t* evaluated)
+{
+    FragCtx& ctx = *(FragCtx*)ctx_ptr;
+    *screened = ctx.screened;
+    *evaluated = ctx.evaluated;
 }
 
 // Fetch the hits of the last search call.

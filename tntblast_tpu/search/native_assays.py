@@ -16,11 +16,16 @@ class NativeFragContext:
     BindContext + MeltCaches scope (caches live for one fragment and are
     shared across the assay loop — reference tntblast_local.cpp:345-376)."""
 
-    def __init__(self, engine, seq_codes, word_len, defline=""):
+    def __init__(self, engine, seq_codes, word_len, defline="",
+                 screen_service=None):
         self.engine = engine
         self.seq = seq_codes
         self.defline = defline
         self.frag = engine.frag_search(seq_codes, word_len)
+        if screen_service is not None:
+            pending = screen_service.submit(self.frag)
+            if pending is not None:
+                pending.resolve()
 
     def close(self):
         self.frag.close()
