@@ -81,7 +81,8 @@ def local_main(argv, stdout=None):
         dbname = opt.dbase_filename or opt.local_dbase_filename
         if opt.verbose:
             stdout.write(f"Reading sequence database: {dbname}\n")
-        db = open_database(dbname)
+        db = open_database(dbname, blast_include=opt.blast_include,
+                           blast_exclude=opt.blast_exclude)
 
         num_seq = db.size()
         if num_seq == 0:

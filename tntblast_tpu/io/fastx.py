@@ -74,9 +74,15 @@ def file_type(path):
     raise ValueError("file_type: unable to determine file type")
 
 
-def open_database(path):
+def open_database(path, blast_include=None, blast_exclude=None):
     """sequence_data::open (reference sequence_data.cpp:28-267) — pick the
-    reader by detected format."""
+    reader by detected format.  Like CSeqDB, a BLAST database is named by
+    its base path (a `<base>.nin` volume next to it)."""
+    import os
+    if os.path.exists(path + ".nin") or path.endswith(".nin"):
+        from tntblast_tpu.io.blastdb import BlastDb
+        base = path[:-4] if path.endswith(".nin") else path
+        return BlastDb(base, include=blast_include, exclude=blast_exclude)
     fmt = file_type(path)
     if fmt in ("FASTA", "FASTQ"):
         return SequenceDatabase(path)
