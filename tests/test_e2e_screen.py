@@ -17,7 +17,7 @@ GOLD = HERE / "golden" / "e2e"
 # Subset covering all assay modes + fragmentation + degenerates; running
 # all 15 under jit-on-CPU is slow, these exercise every screen path.
 CONFIGS = ["probe_small", "probe_dg", "pcr_small", "pcr_lowtm", "taqman",
-           "degen", "padlock", "mips", "pcr_frag"]
+           "degen", "padlock", "mips", "pcr_frag", "pcr_dinkelbach"]
 
 
 @pytest.mark.parametrize("mode", ["--tpu-screen", "--tpu-frag"])

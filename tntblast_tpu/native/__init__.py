@@ -155,6 +155,7 @@ class MeltEngine:
         self.target_T = float(target_T)
         self.na = float(na)
         self.n_threads = n_threads
+        self.dinkelbach = bool(dinkelbach)
         self._h = lib.tnt_engine_create(
             flat(t.param_H), flat(t.param_S),
             flat(t.param_loop_terminal_H), flat(t.param_loop_terminal_S),

@@ -91,8 +91,15 @@ class TpuScreen:
 
     def conditions(self, filt, conc):
         """[(tag, T, min_score)] — a surviving window needs DP score >=
-        min_score at every temperature T (int fixed-point, x10000)."""
+        min_score at every temperature T (int fixed-point, x10000).
+
+        Under --dinkelbach the reported Tm comes from the fractional-
+        programming iteration (alignments re-optimized at T=Tm), for
+        which the conservative-slack bound was not established: screening
+        is disabled (empty condition list) so results stay exact."""
         conds = []
+        if getattr(self.engine, "dinkelbach", False):
+            return conds
         if filt["min_tm"] > 0 and conc > 0:
             tk = filt["min_tm"] + 273.15
             bound = tk * R_GAS * math.log(conc) + self.slack
