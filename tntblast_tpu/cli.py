@@ -104,6 +104,17 @@ def local_main(argv, stdout=None):
             or None)
         state = eng.run_search(opt, db, melt, stdout=stdout)
 
+        if os.environ.get("TNTBLAST_TPU_PROFILE"):
+            # reference PROFILE analogue (tntblast_worker.cpp:124-265):
+            # exact-evaluation and screening work counters
+            pr = getattr(state, "profile", {})
+            print(f"[profile] exact melt evaluations = "
+                  f"{pr.get('evaluated', 0)}", file=sys.stderr)
+            print(f"[profile] device-screened windows = "
+                  f"{pr.get('screened', 0)}", file=sys.stderr)
+            print(f"[profile] device screen calls = "
+                  f"{pr.get('device_calls', 0)}", file=sys.stderr)
+
         def open_per_query(name):
             nonlocal fout, fout_sif
             if opt.output_format & (C.OUTPUT_STANDARD | C.OUTPUT_FASTA):

@@ -181,6 +181,10 @@ class SearchState:
         self.search_results = [[] for _ in range(num_sig)]
         self.query_matches = [False] * num_sig
         self.fragment_target = False
+        # observability counters (reference PROFILE analogue,
+        # tntblast_worker.cpp:124-265): exact melt evaluations performed
+        # and windows pruned by the device screen
+        self.profile = {"evaluated": 0, "screened": 0, "device_calls": 0}
 
 
 def _fragment_work_items(opt, db):
@@ -251,10 +255,16 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
                 h.offset_ranges(local_target_start)
                 kept.append(h)
             per_sig.append((sig.id, kept))
+        stats = ctx.frag.stats()
         ctx.close()
-        return per_sig
+        return per_sig, stats
 
-    def apply_result(per_sig, local_target):
+    def apply_result(result, local_target):
+        per_sig = None
+        if result is not None:
+            per_sig, stats = result
+            state.profile["evaluated"] += stats["evaluated"]
+            state.profile["screened"] += stats["screened"]
         if per_sig is not None:
             for sig_id, kept in per_sig:
                 compute_secondary_tms(engine, kept, opt)
@@ -282,6 +292,8 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
             fut, t = pending.popleft()
             apply_result(fut.result(), t)
 
+    if screen_svc is not None:
+        state.profile["device_calls"] = screen_svc.stats["calls"]
     progress.finish()
     return state
 
@@ -412,6 +424,9 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
                 last_target = -1
                 continue
             if ctx is not None and isinstance(ctx, NativeFragContext):
+                st_ = ctx.frag.stats()
+                state.profile["evaluated"] += st_["evaluated"]
+                state.profile["screened"] += st_["screened"]
                 ctx.close()
             if panel_mgr is None:
                 # default fast path: native per-fragment search (with
@@ -475,6 +490,12 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
         progress.update((local_target * num_sig + local_query) * inv_total,
                         segment_queries)
 
+    if isinstance(ctx, NativeFragContext):
+        st_ = ctx.frag.stats()
+        state.profile["evaluated"] += st_["evaluated"]
+        state.profile["screened"] += st_["screened"]
+    if screen_svc is not None:
+        state.profile["device_calls"] = screen_svc.stats["calls"]
     progress.finish()
     return state
 
