@@ -961,22 +961,32 @@ void align_dimer_batch(MeltState& st, const QueryLUT& lut,
 #endif
         dp_batch_rows_scalar(st, lut, tpv.data(), qev.data(), t_len);
 
-    // per-lane max collection, scan order
-    for (int l = 0; l < n_lanes; ++l) {
-        Score best = -1;
-        std::vector<int64_t>& cells = max_cells[l];
-        cells.clear();
-        for (int i = 1; i <= q_len; ++i) {
-            const size_t row = (size_t)i * cols;
-            for (int j = 1; j <= t_len; ++j) {
-                const Score m = st.M_[(row + j) * DP_LANES + l];
-                if (m >= best) {
-                    if (m > best) { best = m; cells.clear(); }
-                    cells.push_back((int64_t)(row + j));
-                }
+    // Per-lane max collection, scan order.  Two passes: find each lane's
+    // max (vectorized across lanes), then append only matching cells —
+    // equivalent to the reference's running-max push (a strictly greater
+    // score clears the list, so the final list holds exactly the cells
+    // equal to the final max, in scan order; nuc_cruc.cpp:680-691).
+    Score vmax[DP_LANES];
+    for (int l = 0; l < DP_LANES; ++l) vmax[l] = -1;
+    for (int i = 1; i <= q_len; ++i) {
+        const Score* rowp = st.M_.data() + ((size_t)i * cols + 1) * DP_LANES;
+        for (int j = 0; j < t_len; ++j)
+            for (int l = 0; l < DP_LANES; ++l) {
+                const Score m = rowp[(size_t)j * DP_LANES + l];
+                if (m > vmax[l]) vmax[l] = m;
             }
-        }
-        max_scores[l] = best;
+    }
+    for (int l = 0; l < n_lanes; ++l) {
+        max_scores[l] = vmax[l];
+        max_cells[l].clear();
+    }
+    for (int i = 1; i <= q_len; ++i) {
+        const size_t row = (size_t)i * cols;
+        const Score* rowp = st.M_.data() + (row + 1) * DP_LANES;
+        for (int j = 0; j < t_len; ++j)
+            for (int l = 0; l < n_lanes; ++l)
+                if (rowp[(size_t)j * DP_LANES + l] == vmax[l])
+                    max_cells[l].push_back((int64_t)(row + 1 + j));
     }
 }
 
