@@ -94,6 +94,7 @@ def _load():
         ctypes.c_float, ctypes.c_float, ctypes.c_float,
         _i32p, _u8p, ctypes.c_int64]
     lib.tnt_frag_stats.argtypes = [ctypes.c_void_p, _i64p, _i64p]
+    lib.tnt_frag_profile.argtypes = [ctypes.c_void_p, _i64p]
     return lib
 
 
@@ -371,3 +372,10 @@ class FragSearch:
         b = np.zeros(1, np.int64)
         self._lib.tnt_frag_stats(self._h, a, b)
         return {"screened": int(a[0]), "evaluated": int(b[0])}
+
+    def profile(self):
+        """Phase cycle counters (rdtsc): index/seed/extract/dp/tm/sort/pair."""
+        t = np.zeros(7, np.int64)
+        self._lib.tnt_frag_profile(self._h, t)
+        names = ("index", "seed", "extract", "dp", "tm", "sort", "pair")
+        return dict(zip(names, (int(v) for v in t)))

@@ -24,6 +24,7 @@
 #include <unordered_map>
 #include <algorithm>
 #include <cstdint>
+#include <x86intrin.h>
 
 namespace {
 
@@ -379,8 +380,20 @@ struct FragCtx {
     std::vector<HitRec> hits;    // results of the last search call
     int64_t align_bytes = 0;
     int64_t screened = 0, evaluated = 0;   // observability counters
+    // phase cycle counters (reference PROFILE analogue): index build,
+    // seed enumeration, window extract+cache, DP, traceback+rescore,
+    // sort/cull, pairing
+    int64_t t_index = 0, t_seed = 0, t_extract = 0, t_dp = 0, t_tm = 0,
+            t_sort = 0, t_pair = 0;
 
     ~FragCtx() { delete st; }
+};
+
+struct PhaseTimer {
+    int64_t* acc;
+    uint64_t t0;
+    explicit PhaseTimer(int64_t* a) : acc(a), t0(__rdtsc()) {}
+    ~PhaseTimer() { *acc += (int64_t)(__rdtsc() - t0); }
 };
 
 // Cached unique-diagonal seeds per (oligo, strand)
@@ -394,6 +407,11 @@ static const std::vector<std::pair<int64_t, int64_t>>& cached_seeds(
     auto& m = ctx.seed_cache[minus ? 1 : 0];
     auto it = m.find(oligo);
     if (it == m.end()) {
+        {
+            PhaseTimer pt(&ctx.t_index);
+            ctx.index.build();
+        }
+        PhaseTimer pt(&ctx.t_seed);
         std::vector<std::pair<int64_t, int64_t>> seeds;
         unique_diagonal_seeds(ctx.index, *oligo, !minus, seeds);
         it = m.emplace(oligo, std::move(seeds)).first;
@@ -537,6 +555,7 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
     struct MissItem { Key key; std::vector<uint8_t> win; };
     std::vector<MissItem> misses;
     std::unordered_map<int64_t, bool> pending;
+    PhaseTimer* ext_t = new PhaseTimer(&ctx.t_extract);
     for (const auto& kk : keys) {
         const CacheKey ck{oligo, kk.start, kk.stop};
         auto cit = cache.find(ck);
@@ -581,6 +600,7 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
         window_codes(ctx, kk.start, kk.stop, minus, mi.win);
         misses.push_back(std::move(mi));
     }
+    delete ext_t;
     ctx.evaluated += (int64_t)misses.size();
 
     if (!misses.empty()) {
@@ -629,7 +649,12 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
                 for (int l = 0; l < n; ++l)
                     tgts[l] = misses[order[c0 + l]].win.data();
                 for (int l = n; l < DP_LANES; ++l) tgts[l] = tgts[0];
-                align_dimer_batch(st, lut, tgts, t_len, n, scores, cells);
+                {
+                    PhaseTimer pt(&ctx.t_dp);
+                    align_dimer_batch(st, lut, tgts, t_len, n, scores,
+                                      cells);
+                }
+                PhaseTimer pt_tm(&ctx.t_tm);
                 for (int l = 0; l < n; ++l) {
                     MissItem& mi = misses[order[c0 + l]];
                     st.lane = l;
@@ -654,6 +679,7 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
     }
 
     // Survivor pass (filter cascade against cached values)
+    PhaseTimer pt_sort(&ctx.t_sort);
     OligoVec survivors;
     {
         auto eit = entries.begin();
@@ -847,8 +873,11 @@ static void search_amplicon(FragCtx& ctx, const AssayParams& ap)
     }
 
     unsigned sc_minus = 0, sc_plus = 0;
-    cull_oligo_match(match_list, ap.max_len, has_probe, ap.single_primer_pcr,
-                     &sc_minus, &sc_plus);
+    {
+        PhaseTimer pt(&ctx.t_sort);
+        cull_oligo_match(match_list, ap.max_len, has_probe,
+                         ap.single_primer_pcr, &sc_minus, &sc_plus);
+    }
 
     struct BindStep {
         const std::vector<uint8_t>* oligo;
@@ -870,6 +899,7 @@ static void search_amplicon(FragCtx& ctx, const AssayParams& ap)
         bind_oligo(ctx, match_list, order[i].oligo, order[i].minus,
                    order[i].conc, ap.primer_filt, order[i].mask, true);
         if (i < 3) {
+            PhaseTimer pt(&ctx.t_sort);
             cull_oligo_match(match_list, ap.max_len, has_probe,
                              ap.single_primer_pcr, nullptr, nullptr);
             if (match_list.empty()) return;
@@ -886,6 +916,7 @@ static void search_amplicon(FragCtx& ctx, const AssayParams& ap)
                    ap.probe_filt, OM_P, true);
     }
 
+    PhaseTimer pt_pair(&ctx.t_pair);
     list_sort_vec(match_list, oligo_loc_less);
     std::vector<OligoInfoC*> items;
     items.reserve(match_list.size());
@@ -1162,6 +1193,15 @@ void tnt_frag_stats(void* ctx_ptr, int64_t* screened, int64_t* evaluated)
     FragCtx& ctx = *(FragCtx*)ctx_ptr;
     *screened = ctx.screened;
     *evaluated = ctx.evaluated;
+}
+
+// Phase cycle counters (rdtsc): [index, seed, extract, dp, tm, sort, pair]
+void tnt_frag_profile(void* ctx_ptr, int64_t* out7)
+{
+    FragCtx& ctx = *(FragCtx*)ctx_ptr;
+    out7[0] = ctx.t_index; out7[1] = ctx.t_seed; out7[2] = ctx.t_extract;
+    out7[3] = ctx.t_dp; out7[4] = ctx.t_tm; out7[5] = ctx.t_sort;
+    out7[6] = ctx.t_pair;
 }
 
 // Fetch the hits of the last search call.
