@@ -97,33 +97,39 @@ inline bool oligo_loc_less(const OligoInfoC& a, const OligoInfoC& b)
 // because sort_by_oligo_loc is not a strict weak order (see
 // utils/listsort.py for the verified Python port this mirrors).
 using OligoVec = std::vector<OligoInfoC>;
+using IdxVec = std::vector<int32_t>;
 
 template <class Less>
-void list_merge_vec(OligoVec& a, OligoVec& b, OligoVec& out, Less less)
+void list_merge_idx(const OligoVec& items, IdxVec& a, IdxVec& b, IdxVec& out,
+                    Less less)
 {
     out.clear();
     size_t i = 0, j = 0;
     const size_t na = a.size(), nb = b.size();
     while (i < na && j < nb) {
-        if (less(b[j], a[i])) out.push_back(std::move(b[j++]));
-        else out.push_back(std::move(a[i++]));
+        if (less(items[b[j]], items[a[i]])) out.push_back(b[j++]);
+        else out.push_back(a[i++]);
     }
-    while (i < na) out.push_back(std::move(a[i++]));
-    while (j < nb) out.push_back(std::move(b[j++]));
+    while (i < na) out.push_back(a[i++]);
+    while (j < nb) out.push_back(b[j++]);
 }
 
+// The merge network runs over int32 indices (the records are ~120 bytes
+// with a std::string; moving them through every merge level dominated the
+// profile); the final permutation applies in one pass.
 template <class Less>
 void list_sort_vec(OligoVec& items, Less less)
 {
-    if (items.size() < 2) return;
-    std::vector<OligoVec> counter;
-    OligoVec carry, tmp;
-    for (auto& x : items) {
+    const size_t n = items.size();
+    if (n < 2) return;
+    std::vector<IdxVec> counter;
+    IdxVec carry, tmp;
+    for (size_t x = 0; x < n; ++x) {
         carry.clear();
-        carry.push_back(std::move(x));
+        carry.push_back((int32_t)x);
         size_t i = 0;
         while (i < counter.size() && !counter[i].empty()) {
-            list_merge_vec(counter[i], carry, tmp, less);
+            list_merge_idx(items, counter[i], carry, tmp, less);
             carry.swap(tmp);
             counter[i].clear();
             ++i;
@@ -131,13 +137,16 @@ void list_sort_vec(OligoVec& items, Less less)
         if (i == counter.size()) counter.emplace_back(std::move(carry));
         else counter[i].swap(carry);
     }
-    OligoVec result;
+    IdxVec result;
     for (auto& run : counter) {
         if (run.empty()) continue;
-        list_merge_vec(run, result, tmp, less);
+        list_merge_idx(items, run, result, tmp, less);
         result.swap(tmp);
     }
-    items.swap(result);
+    OligoVec out;
+    out.reserve(n);
+    for (const int32_t idx : result) out.push_back(std::move(items[idx]));
+    items.swap(out);
 }
 
 // ---------------------------------------------------------------------------
@@ -148,7 +157,7 @@ struct FragIndex {
     int64_t n = 0;                       // fragment length (db codes)
     const uint8_t* seq = nullptr;
     std::vector<int64_t> bucket_start;   // 4^w + 1
-    std::vector<int64_t> pos_by_word;    // positions grouped by word, asc
+    std::vector<uint32_t> pos_by_word;   // positions grouped by word, asc
     bool built = false;
 
     void build()
@@ -160,34 +169,36 @@ struct FragIndex {
         bucket_start.assign(nbuckets + 1, 0);
         if (n < w) return;
 
-        // valid word at p iff bases [p, p+w-1] are all A/C/G/T
-        std::vector<int64_t> words(n - w + 1);
-        std::vector<uint8_t> ok(n - w + 1, 0);
+        // valid word at p iff bases [p, p+w-1] are all A/C/G/T.
+        // One fused pass computes words (uint16: 2w <= 16 for w <= 8)
+        // and bucket counts; fragments are < 4 GiB so positions are u32.
+        const int64_t nw = n - w + 1;
+        std::vector<uint16_t> words(nw);
+        std::vector<uint8_t> ok(nw, 0);
         int run = 0;
-        int64_t word = 0;
-        const int64_t mask = nbuckets - 1;
+        uint32_t word = 0;
+        const uint32_t mask = (uint32_t)(nbuckets - 1);
         for (int64_t i = 0; i < n; ++i) {
             const int b = seq[i];
             if (b <= DB_MAX_ATGC_C) {
-                word = ((word << 2) | b) & mask;
+                word = ((word << 2) | (uint32_t)b) & mask;
                 ++run;
             } else {
                 run = 0;
             }
             if (i >= w - 1 && run >= w) {
-                words[i - w + 1] = word;
+                words[i - w + 1] = (uint16_t)word;
                 ok[i - w + 1] = 1;
+                ++bucket_start[word + 1];
             }
         }
-        for (int64_t p = 0; p + w <= n; ++p)
-            if (ok[p]) ++bucket_start[words[p] + 1];
         for (int64_t b = 0; b < nbuckets; ++b)
             bucket_start[b + 1] += bucket_start[b];
-        pos_by_word.resize(bucket_start[nbuckets]);
+        pos_by_word.resize((size_t)bucket_start[nbuckets]);
         std::vector<int64_t> fill(bucket_start.begin(),
                                   bucket_start.end() - 1);
-        for (int64_t p = 0; p + w <= n; ++p)
-            if (ok[p]) pos_by_word[fill[words[p]]++] = p;
+        for (int64_t p = 0; p < nw; ++p)
+            if (ok[p]) pos_by_word[fill[words[p]]++] = (uint32_t)p;
     }
 };
 
