@@ -104,3 +104,16 @@ def test_golden_config_device_screen(name, tmp_path, monkeypatch):
     got_out = out_file.read_text() if out_file.exists() else ""
     want_out = (GOLD / f"{name}.out").read_text()
     assert got_out == want_out, f"device-screen output mismatch for {name}"
+
+
+def test_usage_text_parity():
+    """-h usage must be byte-identical to the reference
+    (options.cpp:420-498), modulo the two appended TPU flag lines and the
+    USE_BLAST_DB-conditional lines (the recorded golden is from a no-BLAST
+    build; ours corresponds to the USE_BLAST_DB build)."""
+    from tntblast_tpu.cli import usage_text
+
+    ours = [l for l in usage_text().splitlines(keepends=True)
+            if "--tpu-" not in l and "--blast-" not in l]
+    want = (HERE / "golden" / "usage_noblast.txt").read_text()
+    assert "".join(ours) == want

@@ -45,7 +45,7 @@ def test_screen_prunes_random_background(tmp_path, monkeypatch):
     import random
 
     from tntblast_tpu import cli
-    from tntblast_tpu.parallel import screen_service as svc_mod
+    from tntblast_tpu.parallel import panel as panel_mod
 
     rng = random.Random(1)
     db = tmp_path / "rand.fna"
@@ -53,13 +53,14 @@ def test_screen_prunes_random_background(tmp_path, monkeypatch):
                   + "".join(rng.choice("ACGT") for _ in range(100000)) + "\n")
 
     stats = {}
-    orig_init = svc_mod.DeviceScreenService.__init__
+    orig_init = panel_mod.FragmentPanelManager.__init__
 
     def spy_init(self, *a, **k):
         orig_init(self, *a, **k)
         stats["obj"] = self
 
-    monkeypatch.setattr(svc_mod.DeviceScreenService, "__init__", spy_init)
+    monkeypatch.setattr(panel_mod.FragmentPanelManager, "__init__",
+                        spy_init)
     monkeypatch.chdir(DATA)
     monkeypatch.setenv("TNTBLAST_TPU_THREADS", "1")
     out_file = tmp_path / "o.out"
@@ -69,5 +70,5 @@ def test_screen_prunes_random_background(tmp_path, monkeypatch):
          "--tpu-screen", "T", "-v", "F"], stdout=io.StringIO())
     assert ret == 0
     s = stats["obj"].stats
-    assert s["candidates"] > 0, s
-    assert s["screened"] >= 0.6 * s["candidates"], s
+    assert s["seeds"] > 0, s
+    assert s["kept"] <= 0.4 * s["seeds"], s

@@ -18,9 +18,6 @@ import numpy as np
 from tntblast_tpu import constants as C
 from tntblast_tpu import native
 from tntblast_tpu.io.fastx import SequenceDatabase, seq_len_increment
-from tntblast_tpu.search import seed
-from tntblast_tpu.search.assays import amplicon, hybrid, padlock
-from tntblast_tpu.search.bind import BindContext, MeltCaches
 from tntblast_tpu.search.native_assays import NativeFragContext, search_assay
 
 
@@ -185,6 +182,12 @@ class SearchState:
         # tntblast_worker.cpp:124-265): exact melt evaluations performed
         # and windows pruned by the device screen
         self.profile = {"evaluated": 0, "screened": 0, "device_calls": 0}
+        # per-phase rdtsc cycles from the native search
+        self.phases = {}
+
+    def add_phases(self, ph):
+        for k, v in ph.items():
+            self.phases[k] = self.phases.get(k, 0) + v
 
 
 def _fragment_work_items(opt, db):
@@ -212,13 +215,18 @@ def _fragment_work_items(opt, db):
 
 
 def _run_search_parallel(opt, db, engine, stdout, n_threads,
-                         screen_svc=None):
+                         panel_mgr=None):
     """Threaded fragment loop: work items run on a host thread pool (the
     C++ search releases the GIL); results are spliced in sequential work-
     item order so the hit list is identical to the 1-thread run
     (reference OpenMP model, tntblast_local.cpp:316-852; per-thread caches
     become per-fragment caches, a strictly finer scope with the same
-    memoization semantics)."""
+    memoization semantics).
+
+    With a device panel manager, each fragment's seed+screen step is
+    enqueued on the device as soon as the fragment is read (async JAX
+    dispatch), and resolved by the worker thread just before its native
+    search — device compute overlaps host compute across fragments."""
     from concurrent.futures import ThreadPoolExecutor
     from collections import deque
 
@@ -234,13 +242,15 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
     progress.start()
 
     def work(local_target, local_target_start, local_target_stop,
-             local_target_max_stop, defline, seq_codes):
+             local_target_max_stop, defline, seq_codes, pending_dev):
         target_len = len(seq_codes)
         if target_len < opt.hash_word_size:
             # too small to hash (reference tntblast_local.cpp:513-529)
             return None
+        panel_result = (panel_mgr.resolve(pending_dev)
+                        if pending_dev is not None else None)
         ctx = NativeFragContext(engine, seq_codes, opt.hash_word_size,
-                                defline, screen_service=screen_svc)
+                                defline, panel_result=panel_result)
         per_sig = []
         for sig in opt.sig_list:
             local_results = search_assay(ctx, sig, opt)
@@ -256,15 +266,17 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
                 kept.append(h)
             per_sig.append((sig.id, kept))
         stats = ctx.frag.stats()
+        phases = ctx.frag.profile()
         ctx.close()
-        return per_sig, stats
+        return per_sig, stats, phases
 
     def apply_result(result, local_target):
         per_sig = None
         if result is not None:
-            per_sig, stats = result
+            per_sig, stats, phases = result
             state.profile["evaluated"] += stats["evaluated"]
             state.profile["screened"] += stats["screened"]
+            state.add_phases(phases)
         if per_sig is not None:
             for sig_id, kept in per_sig:
                 compute_secondary_tms(engine, kept, opt)
@@ -282,9 +294,13 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
         for (tgt, start, stop, max_stop) in items:
             defline, seq_codes = db.read(tgt, start,
                                          stop + max_product_length)
+            pending_dev = (panel_mgr.submit(seq_codes)
+                           if panel_mgr is not None
+                           and len(seq_codes) >= opt.hash_word_size
+                           else None)
             pending.append(
                 (pool.submit(work, tgt, start, stop, max_stop,
-                             defline, seq_codes), tgt))
+                             defline, seq_codes, pending_dev), tgt))
             while len(pending) > 2 * n_threads:
                 fut, t = pending.popleft()
                 apply_result(fut.result(), t)
@@ -292,8 +308,10 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
             fut, t = pending.popleft()
             apply_result(fut.result(), t)
 
-    if screen_svc is not None:
-        state.profile["device_calls"] = screen_svc.stats["calls"]
+    if panel_mgr is not None:
+        state.profile["device_calls"] = panel_mgr.stats["fragments"]
+        state.profile["device_seeds"] = panel_mgr.stats["seeds"]
+        state.profile["device_kept"] = panel_mgr.stats["kept"]
     progress.finish()
     return state
 
@@ -308,21 +326,25 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
     if stdout is None:
         stdout = sys.stdout
 
+    # Device seed+screen pipeline (--tpu-screen / --tpu-frag): fragments
+    # are packed to the device, which computes every (oligo, strand)
+    # slot's seed diagonals and a conservative DP screen verdict in one
+    # batched step; the native host search consumes the pre-screened seed
+    # lists and evaluates only windows the device could not rule out.
+    panel_mgr = None
+    if getattr(opt, "tpu_screen", False) or getattr(opt, "tpu_frag", False):
+        from tntblast_tpu.parallel.panel import FragmentPanelManager
+        panel_mgr = FragmentPanelManager(opt, engine)
+
     # Fast path: native fragment search on a host thread pool.  Query
     # segmentation never triggers at num_worker == 1 (query_sched,
     # reference tntblast_util.cpp:1793-1844), so the parallel loop only
-    # needs the fragment axis; forced segmentation (--query-seg T) and the
-    # legacy device-panel path use the sequential loop below.
-    if (not getattr(opt, "tpu_frag", False)
-            and opt.query_segmentation != C.QUERY_SEGMENTATION_ON
+    # needs the fragment axis; forced segmentation (--query-seg T) uses
+    # the sequential loop below.
+    if (opt.query_segmentation != C.QUERY_SEGMENTATION_ON
             and getattr(engine, "n_threads", 1) > 1):
-        svc = None
-        if getattr(opt, "tpu_screen", False):
-            from tntblast_tpu.parallel.screen_service import (
-                DeviceScreenService)
-            svc = DeviceScreenService(opt, engine)
         return _run_search_parallel(opt, db, engine, stdout,
-                                    engine.n_threads, screen_svc=svc)
+                                    engine.n_threads, panel_mgr=panel_mgr)
 
     num_sig = len(opt.sig_list)
     num_seq = db.size()
@@ -346,16 +368,6 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
         default_qt if qt_count == 0 else total_qt / qt_count,
         opt.query_segmentation)
     cur_query = 0 if segment_queries else num_sig
-
-    screen = None
-    panel_mgr = None
-    screen_svc = None
-    if getattr(opt, "tpu_frag", False):
-        from tntblast_tpu.parallel.panel import FragmentPanelManager
-        panel_mgr = FragmentPanelManager(opt, engine)
-    elif getattr(opt, "tpu_screen", False):
-        from tntblast_tpu.parallel.screen_service import DeviceScreenService
-        screen_svc = DeviceScreenService(opt, engine)
 
     progress = ProgressDisplay(stdout, opt.verbose)
     progress.start()
@@ -423,23 +435,17 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
                 # Too small to hash (reference tntblast_local.cpp:513-529)
                 last_target = -1
                 continue
-            if ctx is not None and isinstance(ctx, NativeFragContext):
+            if ctx is not None:
                 st_ = ctx.frag.stats()
                 state.profile["evaluated"] += st_["evaluated"]
                 state.profile["screened"] += st_["screened"]
+                state.add_phases(ctx.frag.profile())
                 ctx.close()
-            if panel_mgr is None:
-                # default fast path: native per-fragment search (with
-                # optional device screening)
-                ctx = NativeFragContext(engine, seq_codes,
-                                        opt.hash_word_size, defline,
-                                        screen_service=screen_svc)
-            else:
-                panel_seeds = (panel_mgr.run_fragment(seq_codes)
-                               if panel_mgr is not None else None)
-                ctx = BindContext(engine, seq_codes, opt.hash_word_size,
-                                  MeltCaches(), defline, screen=screen,
-                                  panel_seeds=panel_seeds)
+            panel_result = (panel_mgr.resolve(panel_mgr.submit(seq_codes))
+                            if panel_mgr is not None else None)
+            ctx = NativeFragContext(engine, seq_codes,
+                                    opt.hash_word_size, defline,
+                                    panel_result=panel_result)
             last_target = local_target
             last_target_start = local_target_start
 
@@ -449,18 +455,7 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
 
         while True:
             sig = opt.sig_list[local_query]
-            local_results = []
-            if isinstance(ctx, NativeFragContext):
-                local_results = search_assay(ctx, sig, opt)
-            elif sig.has_primers():
-                if opt.assay_format == C.ASSAY_PCR:
-                    local_results = amplicon(ctx, sig, opt)
-                elif opt.assay_format == C.ASSAY_PADLOCK:
-                    local_results = padlock(ctx, sig, opt, 0)
-                elif opt.assay_format == C.ASSAY_MIPS:
-                    local_results = padlock(ctx, sig, opt, opt.max_len)
-            elif sig.has_probe():
-                local_results = hybrid(ctx, sig, opt)
+            local_results = search_assay(ctx, sig, opt)
 
             kept = []
             for h in local_results:
@@ -490,12 +485,13 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
         progress.update((local_target * num_sig + local_query) * inv_total,
                         segment_queries)
 
-    if isinstance(ctx, NativeFragContext):
+    if ctx is not None:
         st_ = ctx.frag.stats()
         state.profile["evaluated"] += st_["evaluated"]
         state.profile["screened"] += st_["screened"]
-    if screen_svc is not None:
-        state.profile["device_calls"] = screen_svc.stats["calls"]
+        state.add_phases(ctx.frag.profile())
+    if panel_mgr is not None:
+        state.profile["device_calls"] = panel_mgr.stats["fragments"]
     progress.finish()
     return state
 

@@ -93,6 +93,10 @@ def _load():
         ctypes.c_void_p, _u8p, ctypes.c_int, ctypes.c_int,
         ctypes.c_float, ctypes.c_float, ctypes.c_float,
         _i32p, _u8p, ctypes.c_int64]
+    lib.tnt_frag_set_seeds.argtypes = [
+        ctypes.c_void_p, _u8p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        _i32p, _i32p, ctypes.c_int64, ctypes.c_int64]
     lib.tnt_frag_stats.argtypes = [ctypes.c_void_p, _i64p, _i64p]
     lib.tnt_frag_profile.argtypes = [ctypes.c_void_p, _i64p]
     return lib
@@ -357,6 +361,20 @@ class FragSearch:
             self._h, oc, len(oc), int(bool(minus)), int(wt_max),
             starts, elig, win.reshape(-1), n)
         return starts, elig, win.view(np.int8)
+
+    def set_seeds(self, oligo_codes, minus, min_tm, max_dg, conc,
+                  q, t, n_screened=0):
+        """Inject a device-computed pre-screened seed list for one
+        (oligo, strand) slot (tnt_frag_set_seeds): (q, t) pairs in
+        reference order; honored only when the search's filter matches
+        (min_tm, max_dg, conc) exactly."""
+        oc = np.ascontiguousarray(oligo_codes, dtype=np.uint8)
+        q = np.ascontiguousarray(q, dtype=np.int32)
+        t = np.ascontiguousarray(t, dtype=np.int32)
+        self._lib.tnt_frag_set_seeds(
+            self._h, oc, len(oc), int(bool(minus)),
+            np.float32(min_tm), np.float32(max_dg), np.float32(conc),
+            q, t, len(q), int(n_screened))
 
     def set_verdicts(self, oligo_codes, minus, min_tm, max_dg, conc,
                      starts, flags):

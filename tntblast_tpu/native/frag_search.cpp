@@ -312,6 +312,16 @@ struct VerdictSlot {
     std::unordered_map<int64_t, uint8_t> flags;   // bit0 fail_tm, bit1 fail_dg
 };
 
+// Device-computed, pre-screened seed list for one (oligo, strand) slot
+// (parallel/panel.py): the unique-diagonal seeds minus those the device
+// DP screen proved hit-free under (min_tm, max_dg, conc).  Only honored
+// when the search's filter matches the proof conditions exactly;
+// otherwise the host enumerates seeds itself (cached_seeds).
+struct SeedSlot {
+    float min_tm = 0, max_dg = 0, conc = 0;
+    std::vector<std::pair<int64_t, int64_t>> seeds;   // (q_off, t_pos)
+};
+
 struct CacheKey {
     const void* oligo_id;   // interned oligo identity (codes pointer)
     int64_t start, stop;
@@ -388,6 +398,7 @@ struct FragCtx {
     std::unordered_map<const void*,
         std::vector<std::pair<int64_t, int64_t>>> seed_cache[2];
     std::unordered_map<const void*, VerdictSlot> verdicts[2];
+    std::unordered_map<const void*, SeedSlot> injected[2];
     std::vector<HitRec> hits;    // results of the last search call
     int64_t align_bytes = 0;
     int64_t screened = 0, evaluated = 0;   // observability counters
@@ -430,6 +441,23 @@ static const std::vector<std::pair<int64_t, int64_t>>& cached_seeds(
     return it->second;
 }
 
+// Seed source for one bind/match call: a device-injected pre-screened
+// list when its proof conditions (min_tm, max_dg, conc) equal the
+// caller's filter exactly, else the host enumeration.  Exact float
+// equality is intentional — both sides compute the conditions from the
+// same Options fields through the same float32 conversions.
+static const std::vector<std::pair<int64_t, int64_t>>& seeds_for(
+    FragCtx& ctx, const std::vector<uint8_t>* oligo, bool minus,
+    const Filt& filt, float conc)
+{
+    auto& inj = ctx.injected[minus ? 1 : 0];
+    auto it = inj.find(oligo);
+    if (it != inj.end() && it->second.min_tm == filt.min_tm
+        && it->second.max_dg == filt.max_dg && it->second.conc == conc)
+        return it->second.seeds;
+    return cached_seeds(ctx, oligo, minus);
+}
+
 // window_codes (search/bind.py:121-127)
 static void window_codes(const FragCtx& ctx, int64_t start, int64_t stop,
                          bool minus, std::vector<uint8_t>& out)
@@ -470,7 +498,7 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
     const bool direct = oligo_mask < 0;
 
     if (direct) {
-        const auto& seeds = cached_seeds(ctx, oligo, minus);
+        const auto& seeds = seeds_for(ctx, oligo, minus, filt, strand_conc);
         entries.reserve(seeds.size());
         for (const auto& s : seeds)
             entries.emplace_back((unsigned)s.first, (unsigned)s.second, 0);
@@ -744,12 +772,14 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
     info_list = std::move(out);
 }
 
-// match_oligo_to_{minus,plus}_strand (reference bind_oligo.cpp:84-122)
+// match_oligo_to_{minus,plus}_strand (reference bind_oligo.cpp:84-122);
+// filt/conc identify the slot's screening conditions for seeds_for.
 static void match_oligo(FragCtx& ctx, OligoVec& info_list,
                         const std::vector<uint8_t>* oligo,
-                        unsigned char mask, bool minus)
+                        unsigned char mask, bool minus,
+                        const Filt& filt, float conc)
 {
-    const auto& seeds = cached_seeds(ctx, oligo, minus);
+    const auto& seeds = seeds_for(ctx, oligo, minus, filt, conc);
     const unsigned char strand =
         (unsigned char)(minus ? OM_MINUS : OM_PLUS);
     for (const auto& s : seeds)
@@ -869,17 +899,23 @@ static void search_amplicon(FragCtx& ctx, const AssayParams& ap)
     const bool apply_mmc = ap.min_max_primer_clamp >= 0;
     OligoVec match_list;
 
-    match_oligo(ctx, match_list, ap.fwd, OM_F, true);
-    match_oligo(ctx, match_list, ap.rev, OM_R, true);
+    match_oligo(ctx, match_list, ap.fwd, OM_F, true,
+                ap.primer_filt, ap.fconc);
+    match_oligo(ctx, match_list, ap.rev, OM_R, true,
+                ap.primer_filt, ap.rconc);
     const size_t num_minus = match_list.size();
     if (num_minus == 0) return;
-    match_oligo(ctx, match_list, ap.fwd, OM_F, false);
-    match_oligo(ctx, match_list, ap.rev, OM_R, false);
+    match_oligo(ctx, match_list, ap.fwd, OM_F, false,
+                ap.primer_filt, ap.fconc);
+    match_oligo(ctx, match_list, ap.rev, OM_R, false,
+                ap.primer_filt, ap.rconc);
     if (match_list.size() == num_minus) return;
     const size_t num_plus = match_list.size();
     if (has_probe) {
-        match_oligo(ctx, match_list, ap.prb, OM_P, true);
-        match_oligo(ctx, match_list, ap.prb, OM_P, false);
+        match_oligo(ctx, match_list, ap.prb, OM_P, true,
+                    ap.probe_filt, ap.pconc);
+        match_oligo(ctx, match_list, ap.prb, OM_P, false,
+                    ap.probe_filt, ap.pconc);
         if (match_list.size() == num_plus) return;
     }
 
@@ -1197,6 +1233,30 @@ void tnt_frag_set_verdicts(void* ctx_ptr, const uint8_t* oligo_codes,
     vs.conc = conc;
     for (int64_t i = 0; i < n; ++i)
         if (flags[i]) vs.flags[starts[i]] = flags[i];
+}
+
+// Inject a device-computed, pre-screened seed list for one (oligo,
+// strand) slot (parallel/panel.py).  q/t arrays hold (query word offset,
+// target position) pairs in reference order (ascending diagonal delta);
+// n_screened feeds the observability counter.  The list is honored only
+// by searches whose filter matches (min_tm, max_dg, conc) exactly.
+void tnt_frag_set_seeds(void* ctx_ptr, const uint8_t* oligo_codes,
+                        int olen, int minus,
+                        float min_tm, float max_dg, float conc,
+                        const int32_t* q, const int32_t* t, int64_t n,
+                        int64_t n_screened)
+{
+    FragCtx& ctx = *(FragCtx*)ctx_ptr;
+    const std::vector<uint8_t>* oligo = ctx.intern.get(oligo_codes, olen);
+    SeedSlot& ss = ctx.injected[minus ? 1 : 0][oligo];
+    ss.min_tm = min_tm;
+    ss.max_dg = max_dg;
+    ss.conc = conc;
+    ss.seeds.clear();
+    ss.seeds.reserve((size_t)n);
+    for (int64_t i = 0; i < n; ++i)
+        ss.seeds.emplace_back((int64_t)q[i], (int64_t)t[i]);
+    ctx.screened += n_screened;
 }
 
 void tnt_frag_stats(void* ctx_ptr, int64_t* screened, int64_t* evaluated)

@@ -41,7 +41,9 @@ import jax
 import jax.numpy as jnp
 
 from tntblast_tpu import constants as C
-from tntblast_tpu.ops.thermo_dp import dp_max_score
+from tntblast_tpu.ops.thermo_dp import (
+    DP_SLOT_MARGIN, NUM_PREV, NUM_T5, build_slot_row_tables,
+    dp_max_score_slots)
 
 INT_MIN = -(1 << 31) + 1
 
@@ -49,8 +51,8 @@ INT_MIN = -(1 << 31) + 1
 class PanelConfig:
     """Static (compile-time) shape configuration for a run."""
 
-    # windows per DP launch: bounds the (chunk, wq, wt) energy tensors
-    DP_CHUNK = 2048
+    # windows per DP launch: bounds the (chunk, wq, wt, 7) energy tensors
+    DP_CHUNK = 4096
 
     def __init__(self, word_len, num_os, max_words, wq_max, tile_len,
                  cap, num_cond):
@@ -72,8 +74,8 @@ class PanelConfig:
 
 
 def fragment_step_core(frag_codes, frag_len,
-                       oligo_words, oligo_num_words, oligo_codes, oligo_len,
-                       oligo_minus, thresholds, dg_tables,
+                       oligo_words, oligo_num_words, slot_tables, oligo_len,
+                       oligo_minus, thresholds,
                        *, word_len, num_os, max_words, wq_max, wt, tile_len,
                        cap, num_cond):
     """Device kernel: seeds + windows + screening DP for one fragment.
@@ -82,11 +84,11 @@ def fragment_step_core(frag_codes, frag_len,
     frag_len:        () int32 true fragment length
     oligo_words:     (num_os, max_words) int32 compacted word values (-1 pad)
     oligo_num_words: (num_os,) int32
-    oligo_codes:     (num_os, wq_max) int32 melt codes of the oligo
+    slot_tables:     (num_cond, num_os, wq_max, 7, 30) float32 per-row DP
+                     energy tables (thermo_dp.build_slot_row_tables)
     oligo_len:       (num_os,) int32
     oligo_minus:     (num_os,) bool — window extraction orientation
     thresholds:      (num_cond, num_os) int32 min DP score (INT_MIN = off)
-    dg_tables:       (num_cond, 2401) int32
 
     Returns (os_idx, p, kmin, keep, needs_host, valid, counts):
       os_idx/p/kmin/keep/needs_host/valid: (cap,) candidate arrays in
@@ -165,24 +167,24 @@ def fragment_step_core(frag_codes, frag_len,
     needs_host = jnp.any(in_win & (wcodes >= C.DB_GAP), axis=1)
     tcodes = jnp.where(in_win, melt, 0).astype(jnp.int32)
 
-    qcodes = oligo_codes[os_idx]                     # (cap, wq_max)
-    qlen = ol
-
     # --- screening DP per condition (chunked to bound memory) ------------
+    # DP_SLOT_MARGIN keeps the verdict conservative under the slot-table
+    # DP's f32 matmul rounding (see thermo_dp.dp_max_score_slots).
     thr_cand = thresholds[:, os_idx]                 # (num_cond, cap)
     ch = min(cap, PanelConfig.DP_CHUNK)
     nch = cap // ch
 
     def chunk_keep(xs):
-        qc, ql_c, tc, tl_c, thr = xs
+        osc, tc, tl_c, thr = xs
         k = jnp.ones(ch, dtype=bool)
         for c in range(num_cond):
-            score = dp_max_score(qc, ql_c, tc, tl_c, dg_tables[c],
-                                 wq=wq_max, wt=wt)
-            k = k & ((score >= thr[c]) | (thr[c] == INT_MIN))
+            score = dp_max_score_slots(osc, tc, tl_c, slot_tables[c],
+                                       oligo_len, wq=wq_max, wt=wt)
+            k = k & ((score >= thr[c] - DP_SLOT_MARGIN)
+                     | (thr[c] == INT_MIN))
         return k
 
-    xs = (qcodes.reshape(nch, ch, wq_max), qlen.reshape(nch, ch),
+    xs = (os_idx.reshape(nch, ch),
           tcodes.reshape(nch, ch, wt), t_len.reshape(nch, ch),
           jnp.swapaxes(thr_cand.reshape(num_cond, nch, ch), 0, 1))
     if nch == 1:
@@ -227,22 +229,31 @@ class DevicePanel:
             om[i] = o["minus"]
         thr = np.full((cfg.num_cond, cfg.num_os), INT_MIN, dtype=np.int32)
         thr[:, :self.n_real] = thresholds
-        self.args = (jnp.asarray(ow), jnp.asarray(on), jnp.asarray(oc),
-                     jnp.asarray(olen), jnp.asarray(om), jnp.asarray(thr),
-                     jnp.asarray(dg_tables.astype(np.int32)))
+        # per-(condition, slot, row) DP energy tables — the gather-free
+        # MXU formulation of the screening DP (thermo_dp)
+        tables = np.stack([
+            build_slot_row_tables(oc, olen, dg_tables[c], wq=cfg.wq_max)
+            for c in range(cfg.num_cond)])
+        self.args = (jnp.asarray(ow), jnp.asarray(on), jnp.asarray(tables),
+                     jnp.asarray(olen), jnp.asarray(om), jnp.asarray(thr))
 
-    def run_fragment(self, frag_codes):
+    def submit_fragment(self, frag_codes):
+        """Enqueue the device step (async); resolve with
+        `resolve_fragment`.  JAX dispatch returns immediately, so device
+        compute overlaps host work on other fragments."""
         cfg = self.config
         L = len(frag_codes)
         if L > cfg.tile_len:
             raise ValueError("fragment exceeds tile_len")
         buf = np.full(cfg.tile_len, C.DB_UNKNOWN, dtype=np.uint8)
         buf[:L] = frag_codes
-        out = _fragment_step(
+        return _fragment_step(
             jnp.asarray(buf), jnp.int32(L), *self.args,
             word_len=cfg.word_len, num_os=cfg.num_os,
             max_words=cfg.max_words, wq_max=cfg.wq_max, wt=cfg.wt,
             tile_len=cfg.tile_len, cap=cfg.cap, num_cond=cfg.num_cond)
+
+    def resolve_fragment(self, out):
         os_idx, p, kmin, keep, needs_host, valid, counts = map(np.asarray,
                                                                out)
         n = int(valid.sum())
@@ -252,3 +263,6 @@ class DevicePanel:
             "counts": counts[:self.n_real],
             "overflow": bool(counts[:self.n_real].sum() > n),
         }
+
+    def run_fragment(self, frag_codes):
+        return self.resolve_fragment(self.submit_fragment(frag_codes))

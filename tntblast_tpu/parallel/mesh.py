@@ -57,10 +57,10 @@ def build_sharded_step(mesh, cfg: PanelConfig, axis_name="data"):
         wq_max=cfg.wq_max, wt=cfg.wt, tile_len=cfg.tile_len, cap=cfg.cap,
         num_cond=cfg.num_cond)
 
-    def local_shard(frags, frag_lens, ow, on, oc, olen, om, thr, dg):
+    def local_shard(frags, frag_lens, ow, on, tables, olen, om, thr):
         # vmap over this device's fragment shard
         os_idx, p, kmin, keep, needs_host, valid, counts = jax.vmap(
-            lambda fc, fl: step(fc, fl, ow, on, oc, olen, om, thr, dg)
+            lambda fc, fl: step(fc, fl, ow, on, tables, olen, om, thr)
         )(frags, frag_lens)
         # merge: candidate records ride ICI once per batch; totals via psum
         gathered = jax.tree.map(
@@ -72,7 +72,7 @@ def build_sharded_step(mesh, cfg: PanelConfig, axis_name="data"):
     sharded = jax.shard_map(
         local_shard, mesh=mesh,
         in_specs=(P(axis_name), P(axis_name),
-                  P(), P(), P(), P(), P(), P(), P()),
+                  P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
         # the DP scan's carry-init constants are unvarying on the data
         # axis by construction; skip the varying-manual-axes check

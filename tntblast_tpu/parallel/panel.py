@@ -135,9 +135,13 @@ class PanelGroup:
     def device_panel(self, tile_len):
         dp = self._panels.get(tile_len)
         if dp is None:
-            exp_per_slot = max(
-                128, 3 * tile_len * self.max_words // 4 ** self.word_len)
-            cap = min(MAX_CAP, self.num_os * exp_per_slot)
+            # Expected seed-diagonal count on random sequence is
+            # sum_slots tile * n_words(slot) / 4^w; size the fixed
+            # candidate capacity at ~2x that (the variance of the sum is
+            # small).  Overflow falls back to host seeding per group.
+            total_words = sum(len(p["words"]) for p in self.panel)
+            expected = tile_len * total_words // 4 ** self.word_len
+            cap = min(MAX_CAP, max(2 * expected + 1024, 2048))
             cfg = PanelConfig(
                 word_len=self.word_len, num_os=self.num_os,
                 max_words=self.max_words, wq_max=self.wq_max,
@@ -170,18 +174,27 @@ class FragmentPanelManager:
             t <<= 1
         return t
 
-    def run_fragment(self, frag_codes):
-        """dict slot_key -> (q_off, t_pos) kept seeds in reference order.
+    def submit(self, frag_codes):
+        """Enqueue the device step for every panel group (async); pass
+        the returned pending object to `resolve`.  Submissions are cheap
+        (JAX dispatch); device compute overlaps host search of earlier
+        fragments."""
+        tile = self._tile_len(len(frag_codes))
+        self.stats["fragments"] += 1
+        return [(g, g.device_panel(tile),
+                 g.device_panel(tile).submit_fragment(frag_codes))
+                for g in self.groups]
+
+    def resolve(self, pending):
+        """dict slot_key -> (q_off, t_pos, n_screened): kept seeds in
+        reference order plus the count the device screen pruned.
 
         Slots of a group that overflowed the candidate capacity are left
         out of the dict — the caller falls back to host seeding for them.
         """
-        tile = self._tile_len(len(frag_codes))
         out = {}
-        self.stats["fragments"] += 1
-        for g in self.groups:
-            dp = g.device_panel(tile)
-            res = dp.run_fragment(frag_codes)
+        for g, dp, dev_out in pending:
+            res = dp.resolve_fragment(dev_out)
             if res["overflow"]:
                 self.stats["fallback"] += 1
                 continue
@@ -192,10 +205,14 @@ class FragmentPanelManager:
             self.stats["seeds"] += len(p)
             self.stats["kept"] += int(keep.sum())
             for i, key in enumerate(g.keys):
-                sel = (os_idx == i) & keep
+                slot = (os_idx == i)
+                sel = slot & keep
                 # device order is ascending p; host order is ascending
                 # delta = -p (reference sort_by_delta)
                 q = kmin[sel][::-1]
                 t = (p[sel] + kmin[sel])[::-1]
-                out[key] = (q, t)
+                out[key] = (q, t, int(slot.sum()) - int(sel.sum()))
         return out
+
+    def run_fragment(self, frag_codes):
+        return self.resolve(self.submit(frag_codes))

@@ -17,15 +17,20 @@ class NativeFragContext:
     shared across the assay loop — reference tntblast_local.cpp:345-376)."""
 
     def __init__(self, engine, seq_codes, word_len, defline="",
-                 screen_service=None):
+                 panel_result=None):
         self.engine = engine
         self.seq = seq_codes
         self.defline = defline
         self.frag = engine.frag_search(seq_codes, word_len)
-        if screen_service is not None:
-            pending = screen_service.submit(self.frag)
-            if pending is not None:
-                pending.resolve()
+        if panel_result:
+            # Inject the device-computed, pre-screened seed lists
+            # (parallel/panel.py): the native search skips both host
+            # seeding and the exact evaluation of screened-out windows
+            # for every slot present.
+            for key, (q, t, n_screened) in panel_result.items():
+                oligo, minus, min_tm, max_dg, conc = key
+                self.frag.set_seeds(_codes(oligo), minus, min_tm, max_dg,
+                                    conc, q, t, n_screened)
 
     def close(self):
         self.frag.close()
