@@ -82,6 +82,7 @@ def usage_text():
         "\t[--blast-exclude <Limit search to exclude accessions or NCBI TaxId from a BLAST database>] (may be repeated)\n"
         "\t[--tpu-screen <T|F>] (TPU seed+screen pipeline; output-invariant, default is F)\n"
         "\t[--tpu-frag <T|F>] (synonym for --tpu-screen)\n"
+        "\t[--mesh <T|F>] (shard fragments over all devices of a jax Mesh; output-invariant, default is F)\n"
     )
 
 

@@ -171,6 +171,25 @@ class ProgressDisplay:
         self.stream.flush()
 
 
+class _BatchHandle:
+    """One sharded device launch covering a batch of fragments (mesh
+    mode); resolved lazily by whichever worker thread needs it first."""
+
+    def __init__(self, panel_mgr, frag_list):
+        import threading
+        self._mgr = panel_mgr
+        self._pending = panel_mgr.submit_batch(frag_list)
+        self._results = None
+        self._lock = threading.Lock()
+
+    def get(self, idx):
+        with self._lock:
+            if self._results is None:
+                self._results = self._mgr.resolve_batch(self._pending)
+                self._pending = None
+        return self._results[idx]
+
+
 class SearchState:
     """Results of the search phase, consumed by the output layer."""
 
@@ -247,8 +266,13 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
         if target_len < opt.hash_word_size:
             # too small to hash (reference tntblast_local.cpp:513-529)
             return None
-        panel_result = (panel_mgr.resolve(pending_dev)
-                        if pending_dev is not None else None)
+        if pending_dev is None:
+            panel_result = None
+        elif isinstance(pending_dev, tuple):       # mesh batch slice
+            handle, idx = pending_dev
+            panel_result = handle.get(idx)
+        else:
+            panel_result = panel_mgr.resolve(pending_dev)
         ctx = NativeFragContext(engine, seq_codes, opt.hash_word_size,
                                 defline, panel_result=panel_result)
         per_sig = []
@@ -289,21 +313,47 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
         progress.update((local_target * num_sig + num_sig) * inv_total,
                         False)
 
+    batch_n = getattr(panel_mgr, "batch", 1) if panel_mgr is not None else 1
+
     with ThreadPoolExecutor(max_workers=n_threads) as pool:
         pending = deque()
+        buf = []        # mesh mode: (work args, wants_device) accumulator
+
+        def flush_buf():
+            frags = [a[5] for a, w in buf if w]
+            handle = (_BatchHandle(panel_mgr, frags) if frags else None)
+            j = 0
+            for a, w in buf:
+                dev = None
+                if w:
+                    dev = (handle, j)
+                    j += 1
+                pending.append((pool.submit(work, *a, dev), a[0]))
+            buf.clear()
+
         for (tgt, start, stop, max_stop) in items:
             defline, seq_codes = db.read(tgt, start,
                                          stop + max_product_length)
-            pending_dev = (panel_mgr.submit(seq_codes)
-                           if panel_mgr is not None
-                           and len(seq_codes) >= opt.hash_word_size
-                           else None)
-            pending.append(
-                (pool.submit(work, tgt, start, stop, max_stop,
-                             defline, seq_codes, pending_dev), tgt))
-            while len(pending) > 2 * n_threads:
+            wants_dev = (panel_mgr is not None
+                         and len(seq_codes) >= opt.hash_word_size)
+            if batch_n > 1:
+                # mesh mode: aggregate a device batch so one sharded
+                # launch covers `batch_n` fragments across the mesh
+                buf.append(((tgt, start, stop, max_stop, defline,
+                             seq_codes), wants_dev))
+                if sum(1 for _, w in buf if w) >= batch_n:
+                    flush_buf()
+            else:
+                pending_dev = (panel_mgr.submit(seq_codes)
+                               if wants_dev else None)
+                pending.append(
+                    (pool.submit(work, tgt, start, stop, max_stop,
+                                 defline, seq_codes, pending_dev), tgt))
+            while len(pending) > 2 * max(n_threads, batch_n):
                 fut, t = pending.popleft()
                 apply_result(fut.result(), t)
+        if buf:
+            flush_buf()
         while pending:
             fut, t = pending.popleft()
             apply_result(fut.result(), t)
@@ -332,9 +382,15 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
     # batched step; the native host search consumes the pre-screened seed
     # lists and evaluates only windows the device could not rule out.
     panel_mgr = None
-    if getattr(opt, "tpu_screen", False) or getattr(opt, "tpu_frag", False):
+    use_mesh = getattr(opt, "use_mesh", False)
+    if (getattr(opt, "tpu_screen", False) or getattr(opt, "tpu_frag", False)
+            or use_mesh):
         from tntblast_tpu.parallel.panel import FragmentPanelManager
-        panel_mgr = FragmentPanelManager(opt, engine)
+        mesh = None
+        if use_mesh:
+            from tntblast_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh()
+        panel_mgr = FragmentPanelManager(opt, engine, mesh=mesh)
 
     # Fast path: native fragment search on a host thread pool.  Query
     # segmentation never triggers at num_worker == 1 (query_sched,

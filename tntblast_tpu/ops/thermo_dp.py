@@ -274,16 +274,23 @@ def dp_max_score_slots(os_idx, t_codes, t_len, slot_tables, slot_qlen,
         [jnp.full((B, 1), NUM_T5, jnp.int32), tb5[:, :-1]], axis=1)
     ptb = pt6 * NUM_T5 + tb5                           # (B, wt) in [0, 30)
 
-    # per-window row tables via one-hot slot matmul (MXU, no gather)
+    # per-window row tables via one-hot slot matmul (MXU, no gather).
+    # Precision HIGHEST: the table values are integer-valued f32 < 2^24,
+    # one-hot operands are exact, and the bf16x3 decomposition reproduces
+    # f32 exactly — required for the conservativeness proof (the default
+    # TPU precision truncates the tables to bf16, an error of up to
+    # ~2^-9 relative, far beyond DP_SLOT_MARGIN).
+    hi = jax.lax.Precision.HIGHEST
     oh_s = (os_idx[:, None] == jnp.arange(S)[None, :]).astype(jnp.float32)
     tblb = jnp.einsum("bs,srek->brek", oh_s, slot_tables,
-                      preferred_element_type=jnp.float32)
+                      precision=hi, preferred_element_type=jnp.float32)
 
     # per-cell energies via one-hot target-pair matmul
     oh_p = (ptb[:, :, None]
             == jnp.arange(NUM_PREV * NUM_T5)[None, None, :]).astype(
                 jnp.float32)
     E = jnp.einsum("bjk,brek->brje", oh_p, tblb,
+                   precision=hi,
                    preferred_element_type=jnp.float32)  # (B, wq, wt, 7)
     Ei = jnp.round(E).astype(jnp.int32)
 

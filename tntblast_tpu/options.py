@@ -88,9 +88,12 @@ class Options:
         self.fragment_target_threshold = C.DEFAULT_FRAGMENT_TARGET_LENGTH
         self.threshold_format = C.THRESHOLD_NONE
         # TPU extension (not in the reference): batched device DP screening
-        # of candidate windows before exact evaluation
+        # of candidate windows before exact evaluation; --mesh additionally
+        # shards fragment batches over every available device
+        # (jax.sharding.Mesh — the multi-chip data-parallel runtime)
         self.tpu_screen = False
         self.tpu_frag = False
+        self.use_mesh = False
 
     # ------------------------------------------------------------------
     def parse(self, argv):
@@ -106,6 +109,7 @@ class Options:
         "dangle3=", "min-max-primer-clamp=", "dinkelbach=", "max-gap=",
         "max-mismatch=", "rescale-ct=", "best-match", "blast-include=",
         "blast-exclude=", "max-poly-degen=", "tpu-screen=", "tpu-frag=",
+        "mesh=",
     ]
 
     def parse_command_line(self, argv):
@@ -248,6 +252,8 @@ class Options:
                 self.tpu_screen = self.parse_bool(arg)
             elif flag == "--tpu-frag":
                 self.tpu_frag = self.parse_bool(arg)
+            elif flag == "--mesh":
+                self.use_mesh = self.parse_bool(arg)
 
     @staticmethod
     def parse_assay_format(opt):

@@ -98,8 +98,11 @@ class MeshPanel(DevicePanel):
         self._step = build_sharded_step(self.mesh, config, axis_name)
         self._data_sharding = NamedSharding(self.mesh, P(axis_name))
         self._repl_sharding = NamedSharding(self.mesh, P())
+        self._args_d = None   # replicated panel args, device_put once
 
-    def run_fragments(self, frag_code_list):
+    def submit_fragments(self, frag_code_list):
+        """Enqueue the sharded step for a batch of fragments (async);
+        resolve with `resolve_fragments`."""
         cfg = self.config
         n = len(frag_code_list)
         n_pad = -(-n // self.n_dev) * self.n_dev
@@ -113,9 +116,13 @@ class MeshPanel(DevicePanel):
 
         frags_d = jax.device_put(frags, self._data_sharding)
         lens_d = jax.device_put(lens, self._data_sharding)
-        args_d = tuple(jax.device_put(a, self._repl_sharding)
-                       for a in self.args)
-        out = self._step(frags_d, lens_d, *args_d)
+        if self._args_d is None:
+            self._args_d = tuple(jax.device_put(a, self._repl_sharding)
+                                 for a in self.args)
+        return n, self._step(frags_d, lens_d, *self._args_d)
+
+    def resolve_fragments(self, pending):
+        n, out = pending
         (os_idx, p, kmin, keep, needs_host, valid, counts,
          _tot) = map(np.asarray, out)
 
@@ -130,3 +137,6 @@ class MeshPanel(DevicePanel):
                 "overflow": bool(ci.sum() > m),
             })
         return results
+
+    def run_fragments(self, frag_code_list):
+        return self.resolve_fragments(self.submit_fragments(frag_code_list))

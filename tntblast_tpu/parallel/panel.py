@@ -132,7 +132,7 @@ class PanelGroup:
         self.num_os = -(-n // 8) * 8
         self._panels = {}   # tile_len -> DevicePanel
 
-    def device_panel(self, tile_len):
+    def device_panel(self, tile_len, mesh=None):
         dp = self._panels.get(tile_len)
         if dp is None:
             # Expected seed-diagonal count on random sequence is
@@ -147,21 +147,34 @@ class PanelGroup:
                 max_words=self.max_words, wq_max=self.wq_max,
                 tile_len=tile_len, cap=cap,
                 num_cond=max(len(self.cond_ts), 1))
-            dp = DevicePanel(self.panel, cfg, self.dg_tables,
-                             self.thresholds)
+            if mesh is not None:
+                from tntblast_tpu.parallel.mesh import MeshPanel
+                dp = MeshPanel(self.panel, cfg, self.dg_tables,
+                               self.thresholds, mesh=mesh)
+            else:
+                dp = DevicePanel(self.panel, cfg, self.dg_tables,
+                                 self.thresholds)
             self._panels[tile_len] = dp
         return dp
 
 
 class FragmentPanelManager:
-    """Runs the device panel for each fragment; yields pre-screened seeds."""
+    """Runs the device panel for each fragment; yields pre-screened seeds.
+
+    With `mesh` set (a jax.sharding.Mesh), fragment batches shard across
+    the mesh's devices (parallel/mesh.py) — the multi-chip equivalent of
+    the reference's master/worker database segmentation
+    (tntblast_master.cpp:429-511); `batch` tells the caller how many
+    fragments to aggregate per submission."""
 
     MIN_TILE = 1 << 14
 
-    def __init__(self, opt, engine):
+    def __init__(self, opt, engine, mesh=None):
         self.screen = TpuScreen(
             engine, dangle=opt.allow_dangle_5 or opt.allow_dangle_3)
         self.word_len = opt.hash_word_size
+        self.mesh = mesh
+        self.batch = int(mesh.devices.size) if mesh is not None else 1
         items = collect_slots(opt)
         self.groups = [
             PanelGroup(items[i:i + MAX_SLOTS], self.screen, self.word_len)
@@ -181,37 +194,66 @@ class FragmentPanelManager:
         fragments."""
         tile = self._tile_len(len(frag_codes))
         self.stats["fragments"] += 1
-        return [(g, g.device_panel(tile),
-                 g.device_panel(tile).submit_fragment(frag_codes))
-                for g in self.groups]
+        out = []
+        for g in self.groups:
+            dp = g.device_panel(tile, mesh=self.mesh)
+            pend = (dp.submit_fragments([frag_codes]) if self.mesh
+                    else dp.submit_fragment(frag_codes))
+            out.append((g, dp, pend))
+        return out
+
+    def submit_batch(self, frag_code_list):
+        """Enqueue one sharded device step for a batch of fragments
+        (mesh mode; up to `batch` fragments ride one collective launch).
+        Returns a pending object for `resolve_batch`."""
+        tile = self._tile_len(max(len(f) for f in frag_code_list))
+        self.stats["fragments"] += len(frag_code_list)
+        return (len(frag_code_list),
+                [(g, g.device_panel(tile, mesh=self.mesh),
+                  g.device_panel(tile, mesh=self.mesh)
+                  .submit_fragments(frag_code_list))
+                 for g in self.groups])
+
+    def resolve_batch(self, pending):
+        """List of per-fragment slot dicts for a submit_batch call."""
+        n, per_group = pending
+        outs = [{} for _ in range(n)]
+        for g, dp, pend in per_group:
+            for i, res in enumerate(dp.resolve_fragments(pend)[:n]):
+                self._merge_group(outs[i], g, res)
+        return outs
+
+    def _merge_group(self, out, g, res):
+        """Fold one group's resolved fragment result into the slot dict:
+        slot_key -> (q_off, t_pos, n_screened), kept seeds in reference
+        order plus the count the device screen pruned.  A group that
+        overflowed the candidate capacity contributes nothing — the
+        caller falls back to host seeding for its slots."""
+        if res["overflow"]:
+            self.stats["fallback"] += 1
+            return
+        os_idx = res["os_idx"]
+        keep = res["keep"]
+        p = res["p"].astype(np.int64)
+        kmin = res["kmin"].astype(np.int64)
+        self.stats["seeds"] += len(p)
+        self.stats["kept"] += int(keep.sum())
+        for i, key in enumerate(g.keys):
+            slot = (os_idx == i)
+            sel = slot & keep
+            # device order is ascending p; host order is ascending
+            # delta = -p (reference sort_by_delta)
+            q = kmin[sel][::-1]
+            t = (p[sel] + kmin[sel])[::-1]
+            out[key] = (q, t, int(slot.sum()) - int(sel.sum()))
 
     def resolve(self, pending):
-        """dict slot_key -> (q_off, t_pos, n_screened): kept seeds in
-        reference order plus the count the device screen pruned.
-
-        Slots of a group that overflowed the candidate capacity are left
-        out of the dict — the caller falls back to host seeding for them.
-        """
+        """Slot dict for a single-fragment submit call."""
         out = {}
         for g, dp, dev_out in pending:
-            res = dp.resolve_fragment(dev_out)
-            if res["overflow"]:
-                self.stats["fallback"] += 1
-                continue
-            os_idx = res["os_idx"]
-            keep = res["keep"]
-            p = res["p"].astype(np.int64)
-            kmin = res["kmin"].astype(np.int64)
-            self.stats["seeds"] += len(p)
-            self.stats["kept"] += int(keep.sum())
-            for i, key in enumerate(g.keys):
-                slot = (os_idx == i)
-                sel = slot & keep
-                # device order is ascending p; host order is ascending
-                # delta = -p (reference sort_by_delta)
-                q = kmin[sel][::-1]
-                t = (p[sel] + kmin[sel])[::-1]
-                out[key] = (q, t, int(slot.sum()) - int(sel.sum()))
+            res = (dp.resolve_fragments(dev_out)[0] if self.mesh
+                   else dp.resolve_fragment(dev_out))
+            self._merge_group(out, g, res)
         return out
 
     def run_fragment(self, frag_codes):
