@@ -114,6 +114,7 @@ def test_usage_text_parity():
     from tntblast_tpu.cli import usage_text
 
     ours = [l for l in usage_text().splitlines(keepends=True)
-            if "--tpu-" not in l and "--blast-" not in l]
+            if "--tpu-" not in l and "--blast-" not in l
+            and "--mesh" not in l]
     want = (HERE / "golden" / "usage_noblast.txt").read_text()
     assert "".join(ours) == want
