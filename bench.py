@@ -5,21 +5,31 @@ Runs the standard benchmark config (bench_data.py: 8 Mb synthetic genome,
 work the reference binary does — and prints ONE JSON line:
 
     {"metric": "pcr_search_throughput", "value": <Mbases/s>,
-     "unit": "Mbases/s", "vs_baseline": <ratio>}
+     "unit": "Mbases/s", "vs_baseline": <ratio>, ...}
 
 Baseline: the reference tntblast binary (v2.77, plain `make`, OpenMP),
 measured on the dev box (see BASELINE.md "Measured CPU baseline"):
 3.412 Mb/s at 1 thread, 6.439 Mb/s at 2 threads (94% scaling), projected
 to the BASELINE.json 32-core-node target at 32 x 0.94 x 3.412 =
-102.6 Mb/s. vs_baseline is measured-TPU-throughput / 102.6.
+102.6 Mb/s. vs_baseline is measured-throughput / 102.6.
 
-The run is checked for correctness before timing counts: the hit list must
-contain the expected number of planted amplicon records.
+Methodology (VERDICT r2 #8):
+  * correctness gate: the hit list must be BYTE-IDENTICAL to the
+    recorded reference output (sha256 in BENCH_GOLDEN_SHA256, generated
+    from tntblast v2.77 on this exact config) — not a count floor;
+  * median of 5 timed runs, with min/max spread reported;
+  * both paths are measured when a healthy accelerator is present
+    (host C++ path, and the device seed+screen path `--tpu-screen T`);
+    the reported value is the better median and `path` says which.
+    An unhealthy device link (devhealth.py) skips the device config
+    instead of hanging.
 """
 
 import contextlib
+import hashlib
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -33,7 +43,25 @@ REF_SCALING = 0.94          # observed 1->2 core efficiency
 REF_MBPS_32CORE = REF_MBPS_1CORE * 32 * REF_SCALING   # 102.6 Mb/s
 
 GENOME_MB = (bench_data.NSEQ * bench_data.SEQLEN) / 1e6
-MIN_EXPECTED_HITS = bench_data.NPLANT * bench_data.PLANTS_PER_SEQ * bench_data.NSEQ
+
+# sha256 of the reference tntblast v2.77 output file on the bench config
+# (OMP_NUM_THREADS-independent; 242 hit records).
+BENCH_GOLDEN_SHA256 = (
+    "4394383a49dbcbe751377f977fa7509c124c243350c755a72bbf876156d66b05")
+
+
+def _sha256(path):
+    h = hashlib.sha256()
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _fail(msg):
+    print(json.dumps({"metric": "pcr_search_throughput", "value": 0.0,
+                      "unit": "Mbases/s", "vs_baseline": 0.0, "error": msg}))
+    return 1
 
 
 def run():
@@ -43,12 +71,13 @@ def run():
     out_path = os.path.join(work, "bench_out.txt")
 
     from tntblast_tpu.cli import local_main
+    from tntblast_tpu.devhealth import device_health
 
-    argv = ["-i", panel, "-d", fna, "-A", "PCR",
-            "-e", "40", "-E", "45", "-l", "2000", "-o", out_path]
+    base_argv = ["-i", panel, "-d", fna, "-A", "PCR",
+                 "-e", "40", "-E", "45", "-l", "2000", "-o", out_path]
 
-    # Warmup: tiny slice to trigger native build + XLA compile outside the
-    # timed region (compiles are cached by shape; the real run reuses them).
+    # Warmup input: tiny genome slice to trigger the native build + XLA
+    # compiles outside the timed region (compiles cache by shape).
     warm_fna = os.path.join(work, "warm.fna")
     if not os.path.exists(warm_fna):
         with open(fna) as src, open(warm_fna, "w") as dst:
@@ -56,47 +85,66 @@ def run():
                 if i >= 800:        # ~56 kb
                     break
                 dst.write(line)
+
+    configs = [("host", [])]
+    ok, platform, reason = device_health()
+    device_note = f"{platform}: {reason}"
+    if ok and platform != "cpu":
+        configs.append(("tpu-screen", ["--tpu-screen", "T"]))
+
     devnull = open(os.devnull, "w")
+    results = {}
     with contextlib.redirect_stdout(devnull):
-        local_main(["-i", panel, "-d", warm_fna, "-A", "PCR", "-e", "40",
+        for name, extra in configs:
+            argv = base_argv + extra
+            warm = ["-i", panel, "-d", warm_fna, "-A", "PCR", "-e", "40",
                     "-E", "45", "-l", "2000",
-                    "-o", os.path.join(work, "warm_out.txt")], stdout=devnull)
-
-        # best of 3: the measurement box is shared and wall-clock noise
-        # runs +-30%; throughput under contention understates the engine
-        dt = None
-        for _ in range(3):
-            t0 = time.time()
-            rc = local_main(argv, stdout=devnull)
-            run = time.time() - t0
+                    "-o", os.path.join(work, "warm_out.txt")] + extra
+            rc = local_main(warm, stdout=devnull)
             if rc != 0:
-                break
-            dt = run if dt is None else min(dt, run)
-    if rc != 0:
-        print(json.dumps({"metric": "pcr_search_throughput", "value": 0.0,
-                          "unit": "Mbases/s", "vs_baseline": 0.0,
-                          "error": f"engine exit code {rc}"}))
-        return 1
+                return _fail(f"warmup exit code {rc} ({name})")
+            times = []
+            runs = 5 if name == "host" else 3
+            for _ in range(runs):
+                t0 = time.time()
+                rc = local_main(argv, stdout=devnull)
+                dt = time.time() - t0
+                if rc != 0:
+                    return _fail(f"engine exit code {rc} ({name})")
+                got = _sha256(out_path)
+                if got != BENCH_GOLDEN_SHA256:
+                    return _fail(
+                        f"hit list diverges from reference golden ({name}): "
+                        f"sha256 {got[:16]}... != "
+                        f"{BENCH_GOLDEN_SHA256[:16]}...")
+                times.append(dt)
+            results[name] = times
 
-    n_hits = 0
-    with open(out_path) as fh:
-        for line in fh:
-            if line.startswith("name = "):
-                n_hits += 1
-    if n_hits < MIN_EXPECTED_HITS:
-        print(json.dumps({"metric": "pcr_search_throughput", "value": 0.0,
-                          "unit": "Mbases/s", "vs_baseline": 0.0,
-                          "error": f"only {n_hits} hits; expected >= "
-                                   f"{MIN_EXPECTED_HITS} (broken engine?)"}))
-        return 1
+    summary = {name: {
+        "median_mbps": round(GENOME_MB / statistics.median(t), 3),
+        "best_mbps": round(GENOME_MB / min(t), 3),
+        "spread_s": round(max(t) - min(t), 3),
+    } for name, t in results.items()}
 
-    mbps = GENOME_MB / dt
-    print(json.dumps({"metric": "pcr_search_throughput",
-                      "value": round(mbps, 3),
-                      "unit": "Mbases/s",
-                      "vs_baseline": round(mbps / REF_MBPS_32CORE, 4)}))
+    best_path = max(summary, key=lambda n: summary[n]["median_mbps"])
+    mbps = summary[best_path]["median_mbps"]
+    print(json.dumps({
+        "metric": "pcr_search_throughput",
+        "value": mbps,
+        "unit": "Mbases/s",
+        "vs_baseline": round(mbps / REF_MBPS_32CORE, 4),
+        "path": best_path,
+        "device": device_note,
+        "paths": summary,
+    }))
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(run())
+    rc = run()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # A wedged-link health probe leaves a daemon thread blocked inside the
+    # PJRT client; interpreter teardown then aborts in native code.  The
+    # JSON line is already out — skip teardown.
+    os._exit(rc)

@@ -106,6 +106,30 @@ def test_golden_config_device_screen(name, tmp_path, monkeypatch):
     assert got_out == want_out, f"device-screen output mismatch for {name}"
 
 
+@pytest.mark.parametrize("name", ["pcr_frag", "taqman", "pcr_small"])
+def test_golden_config_mesh(name, tmp_path, monkeypatch):
+    """--mesh T (SPMD fragment sharding over the 8-device CPU mesh,
+    parallel/mesh.py) must be output-invariant: the sharded seed+screen
+    step feeds the same pre-screened seed lists as the single-device
+    path, so the hit list stays byte-identical to the reference golden."""
+    from tntblast_tpu import cli
+
+    args = (GOLD / f"{name}.cmd").read_text().split()
+    out_file = tmp_path / f"{name}.out"
+    args += ["-o", str(out_file), "--mesh", "T"]
+
+    monkeypatch.chdir(DATA)
+    monkeypatch.setenv("TNTBLAST_TPU_THREADS", "2")
+
+    stdout = io.StringIO()
+    ret = cli.local_main(args, stdout=stdout)
+    assert ret == 0
+
+    got_out = out_file.read_text() if out_file.exists() else ""
+    want_out = (GOLD / f"{name}.out").read_text()
+    assert got_out == want_out, f"mesh output mismatch for {name}"
+
+
 def test_usage_text_parity():
     """-h usage must be byte-identical to the reference
     (options.cpp:420-498), modulo the two appended TPU flag lines and the

@@ -385,12 +385,21 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
     use_mesh = getattr(opt, "use_mesh", False)
     if (getattr(opt, "tpu_screen", False) or getattr(opt, "tpu_frag", False)
             or use_mesh):
-        from tntblast_tpu.parallel.panel import FragmentPanelManager
-        mesh = None
-        if use_mesh:
-            from tntblast_tpu.parallel.mesh import make_mesh
-            mesh = make_mesh()
-        panel_mgr = FragmentPanelManager(opt, engine, mesh=mesh)
+        from tntblast_tpu.devhealth import device_health
+        ok, platform, reason = device_health()
+        if not ok:
+            # An unhealthy link would hang the first resolve; the host
+            # path produces the identical hit list, so fall back loudly.
+            sys.stderr.write(
+                f"Warning: device path disabled ({platform}: {reason}); "
+                "running host search\n")
+        else:
+            from tntblast_tpu.parallel.panel import FragmentPanelManager
+            mesh = None
+            if use_mesh:
+                from tntblast_tpu.parallel.mesh import make_mesh
+                mesh = make_mesh()
+            panel_mgr = FragmentPanelManager(opt, engine, mesh=mesh)
 
     # Fast path: native fragment search on a host thread pool.  Query
     # segmentation never triggers at num_worker == 1 (query_sched,

@@ -55,7 +55,7 @@ class PanelConfig:
     DP_CHUNK = 4096
 
     def __init__(self, word_len, num_os, max_words, wq_max, tile_len,
-                 cap, num_cond):
+                 cap, num_cond, kcap=None):
         self.word_len = int(word_len)
         self.num_os = int(num_os)          # oligo-strand slots (padded)
         self.max_words = int(max_words)    # compacted word-list capacity
@@ -66,18 +66,24 @@ class PanelConfig:
         if cap > self.DP_CHUNK:            # chunked DP needs even division
             cap = -(-cap // self.DP_CHUNK) * self.DP_CHUNK
         self.cap = cap                     # candidate capacity per call
+        # capacity of the device-compacted KEPT-seed list — the only
+        # per-candidate payload the fast resolve path reads back (the
+        # full arrays stay on device).  Screens typically keep <25% of
+        # candidates; callers with screening disabled pass kcap=cap.
+        self.kcap = int(kcap) if kcap is not None else max(cap // 4, 512)
+        self.kcap = min(self.kcap, cap)
         self.num_cond = int(num_cond)
 
     def key(self):
         return (self.word_len, self.num_os, self.max_words, self.wq_max,
-                self.tile_len, self.cap, self.num_cond)
+                self.tile_len, self.cap, self.num_cond, self.kcap)
 
 
 def fragment_step_core(frag_codes, frag_len,
                        oligo_words, oligo_num_words, slot_tables, oligo_len,
                        oligo_minus, thresholds,
                        *, word_len, num_os, max_words, wq_max, wt, tile_len,
-                       cap, num_cond):
+                       cap, num_cond, kcap=None):
     """Device kernel: seeds + windows + screening DP for one fragment.
 
     frag_codes:      (tile_len,) uint8 db codes, padded with DB_UNKNOWN
@@ -193,13 +199,54 @@ def fragment_step_core(frag_codes, frag_len,
         keep = jax.lax.map(chunk_keep, xs).reshape(cap)
 
     keep = keep | needs_host  # unrepresentable windows go to the host path
-    return os_idx, p, cand_kmin, keep, needs_host, valid, counts
+
+    # --- device-side compaction of KEPT seeds ----------------------------
+    # The fast resolve path reads back only this list (plus counts): a
+    # wedge-prone / low-bandwidth device link pays for kept seeds, not for
+    # every screened-out candidate.
+    if kcap is None:
+        kcap = max(cap // 4, 512)
+    kcap = min(kcap, cap)
+    sel = keep & valid
+    n_kept = sel.sum().astype(jnp.int32)
+    (kept_idx,) = jnp.nonzero(sel, size=kcap, fill_value=cap)
+    ki = jnp.clip(kept_idx, 0, cap - 1)
+    kv = kept_idx < cap
+    os_k = jnp.where(kv, os_idx[ki], 0)
+    p_k = jnp.where(kv, p[ki], 0)
+    kmin_k = jnp.where(kv, cand_kmin[ki], 0)
+
+    return (os_idx, p, cand_kmin, keep, needs_host, valid, counts,
+            os_k, p_k, kmin_k, n_kept)
 
 
 _fragment_step = jax.jit(
     fragment_step_core,
     static_argnames=("word_len", "num_os", "max_words", "wq_max", "wt",
-                     "tile_len", "cap", "num_cond"))
+                     "tile_len", "cap", "num_cond", "kcap"))
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_step(key):
+    """jit(vmap(step)) for one PanelConfig key: a single device program
+    covering a whole batch of fragments — amortizes the per-launch
+    dispatch/tunnel overhead that dominates when the chip sits behind an
+    RPC link (one launch per batch instead of one per fragment)."""
+    (word_len, num_os, max_words, wq_max, tile_len, cap, num_cond,
+     kcap) = key
+    wt = wq_max + 2 * C.NUM_FLANK_BASE
+    step = functools.partial(
+        fragment_step_core,
+        word_len=word_len, num_os=num_os, max_words=max_words,
+        wq_max=wq_max, wt=wt, tile_len=tile_len, cap=cap,
+        num_cond=num_cond, kcap=kcap)
+
+    def run(frags, frag_lens, ow, on, tables, olen, om, thr):
+        return jax.vmap(
+            lambda fc, fl: step(fc, fl, ow, on, tables, olen, om, thr)
+        )(frags, frag_lens)
+
+    return jax.jit(run)
 
 
 class DevicePanel:
@@ -237,6 +284,65 @@ class DevicePanel:
         self.args = (jnp.asarray(ow), jnp.asarray(on), jnp.asarray(tables),
                      jnp.asarray(olen), jnp.asarray(om), jnp.asarray(thr))
 
+    def submit_fragments(self, frag_code_list):
+        """Enqueue ONE batched device program covering all fragments in
+        the list (async); resolve with `resolve_fragments`.  Single-chip
+        counterpart of MeshPanel.submit_fragments: the batch rides a
+        vmap axis instead of a mesh axis."""
+        cfg = self.config
+        n = len(frag_code_list)
+        frags = np.full((n, cfg.tile_len), C.DB_UNKNOWN, dtype=np.uint8)
+        lens = np.zeros(n, dtype=np.int32)
+        for i, fc in enumerate(frag_code_list):
+            if len(fc) > cfg.tile_len:
+                raise ValueError("fragment exceeds tile_len")
+            frags[i, :len(fc)] = fc
+            lens[i] = len(fc)
+        out = _batched_step(cfg.key())(
+            jnp.asarray(frags), jnp.asarray(lens), *self.args)
+        return n, out
+
+    def resolve_fragments(self, pending):
+        """Fast resolve: reads back ONLY the device-compacted kept-seed
+        list + per-slot counts (the full candidate arrays never leave the
+        device) — the d2h payload is what survives the screen, not every
+        candidate."""
+        n, out = pending
+        cfg = self.config
+        os_k, p_k, kmin_k, n_kept, counts = (
+            np.asarray(out[7]), np.asarray(out[8]), np.asarray(out[9]),
+            np.asarray(out[10]), np.asarray(out[6]))
+        results = []
+        for i in range(n):
+            m = int(n_kept[i])
+            ci = counts[i][:self.n_real]
+            results.append({
+                "os_k": os_k[i][:min(m, cfg.kcap)],
+                "p_k": p_k[i][:min(m, cfg.kcap)],
+                "kmin_k": kmin_k[i][:min(m, cfg.kcap)],
+                "counts": ci, "n_kept": m,
+                "overflow": bool(ci.sum() > cfg.cap or m > cfg.kcap),
+            })
+        return results
+
+    def resolve_fragments_full(self, pending):
+        """Full resolve (tests / debugging): every candidate with its
+        keep/needs_host verdict — transfers the whole candidate block."""
+        n, out = pending
+        (os_idx, p, kmin, keep, needs_host, valid,
+         counts) = map(np.asarray, out[:7])
+        results = []
+        for i in range(n):
+            m = int(valid[i].sum())
+            ci = counts[i][:self.n_real]
+            results.append({
+                "os_idx": os_idx[i][:m], "p": p[i][:m], "kmin": kmin[i][:m],
+                "keep": keep[i][:m], "needs_host": needs_host[i][:m],
+                "counts": ci,
+                "overflow": bool(ci.sum() > m),
+            })
+        return results
+
     def submit_fragment(self, frag_codes):
         """Enqueue the device step (async); resolve with
         `resolve_fragment`.  JAX dispatch returns immediately, so device
@@ -251,17 +357,31 @@ class DevicePanel:
             jnp.asarray(buf), jnp.int32(L), *self.args,
             word_len=cfg.word_len, num_os=cfg.num_os,
             max_words=cfg.max_words, wq_max=cfg.wq_max, wt=cfg.wt,
-            tile_len=cfg.tile_len, cap=cfg.cap, num_cond=cfg.num_cond)
+            tile_len=cfg.tile_len, cap=cfg.cap, num_cond=cfg.num_cond,
+            kcap=cfg.kcap)
 
     def resolve_fragment(self, out):
-        os_idx, p, kmin, keep, needs_host, valid, counts = map(np.asarray,
-                                                               out)
+        (os_idx, p, kmin, keep, needs_host, valid,
+         counts) = map(np.asarray, out[:7])
         n = int(valid.sum())
         return {
             "os_idx": os_idx[:n], "p": p[:n], "kmin": kmin[:n],
             "keep": keep[:n], "needs_host": needs_host[:n],
             "counts": counts[:self.n_real],
             "overflow": bool(counts[:self.n_real].sum() > n),
+        }
+
+    def resolve_fragment_fast(self, out):
+        """Kept-seed-only resolve of a single-fragment submission."""
+        cfg = self.config
+        m = int(np.asarray(out[10]))
+        counts = np.asarray(out[6])[:self.n_real]
+        k = min(m, cfg.kcap)
+        return {
+            "os_k": np.asarray(out[7])[:k], "p_k": np.asarray(out[8])[:k],
+            "kmin_k": np.asarray(out[9])[:k],
+            "counts": counts, "n_kept": m,
+            "overflow": bool(counts.sum() > cfg.cap or m > cfg.kcap),
         }
 
     def run_fragment(self, frag_codes):

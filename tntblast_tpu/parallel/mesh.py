@@ -55,25 +55,26 @@ def build_sharded_step(mesh, cfg: PanelConfig, axis_name="data"):
         fragment_step_core,
         word_len=cfg.word_len, num_os=cfg.num_os, max_words=cfg.max_words,
         wq_max=cfg.wq_max, wt=cfg.wt, tile_len=cfg.tile_len, cap=cfg.cap,
-        num_cond=cfg.num_cond)
+        num_cond=cfg.num_cond, kcap=cfg.kcap)
 
     def local_shard(frags, frag_lens, ow, on, tables, olen, om, thr):
         # vmap over this device's fragment shard
-        os_idx, p, kmin, keep, needs_host, valid, counts = jax.vmap(
+        outs = jax.vmap(
             lambda fc, fl: step(fc, fl, ow, on, tables, olen, om, thr)
         )(frags, frag_lens)
         # merge: candidate records ride ICI once per batch; totals via psum
         gathered = jax.tree.map(
             lambda x: jax.lax.all_gather(x, axis_name, axis=0, tiled=True),
-            (os_idx, p, kmin, keep, needs_host, valid, counts))
-        total_counts = jax.lax.psum(counts.sum(axis=0), axis_name)
+            outs)
+        total_counts = jax.lax.psum(outs[6].sum(axis=0), axis_name)
         return gathered + (total_counts,)
 
+    n_out = 12
     sharded = jax.shard_map(
         local_shard, mesh=mesh,
         in_specs=(P(axis_name), P(axis_name),
                   P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=tuple(P() for _ in range(n_out)),
         # the DP scan's carry-init constants are unvarying on the data
         # axis by construction; skip the varying-manual-axes check
         check_vma=False)
@@ -122,10 +123,31 @@ class MeshPanel(DevicePanel):
         return n, self._step(frags_d, lens_d, *self._args_d)
 
     def resolve_fragments(self, pending):
+        """Fast resolve: kept-seed list + counts only (device_search
+        DevicePanel.resolve_fragments contract)."""
         n, out = pending
-        (os_idx, p, kmin, keep, needs_host, valid, counts,
-         _tot) = map(np.asarray, out)
+        cfg = self.config
+        os_k, p_k, kmin_k, n_kept, counts = (
+            np.asarray(out[7]), np.asarray(out[8]), np.asarray(out[9]),
+            np.asarray(out[10]), np.asarray(out[6]))
+        results = []
+        for i in range(n):
+            m = int(n_kept[i])
+            k = min(m, cfg.kcap)
+            ci = counts[i][:self.n_real]
+            results.append({
+                "os_k": os_k[i][:k], "p_k": p_k[i][:k],
+                "kmin_k": kmin_k[i][:k],
+                "counts": ci, "n_kept": m,
+                "overflow": bool(ci.sum() > cfg.cap or m > cfg.kcap),
+            })
+        return results
 
+    def resolve_fragments_full(self, pending):
+        """Full per-candidate resolve (tests / debugging)."""
+        n, out = pending
+        (os_idx, p, kmin, keep, needs_host, valid,
+         counts) = map(np.asarray, out[:7])
         results = []
         for i in range(n):
             m = int(valid[i].sum())
@@ -139,4 +161,5 @@ class MeshPanel(DevicePanel):
         return results
 
     def run_fragments(self, frag_code_list):
-        return self.resolve_fragments(self.submit_fragments(frag_code_list))
+        return self.resolve_fragments_full(
+            self.submit_fragments(frag_code_list))

@@ -1,0 +1,219 @@
+"""Multi-process distributed runtime (the reference's MPI master/worker).
+
+The reference scales across machines with an MPI master that hands
+(query-block, target, fragment) work items to workers and gathers packed
+`hybrid_sig` results (reference tntblast_master.cpp:28, dispatch
+:429-511, gather :760-849; tntblast_worker.cpp:23).  The TPU-native
+equivalent is an SPMD process group under `jax.distributed`:
+
+  * every process opens the database locally (no REMOTE pull-serving:
+    shared filesystems are the norm on TPU pods) and enumerates the SAME
+    deterministic (target, fragment) work-item list the single-host
+    engine uses (engine._fragment_work_items);
+  * process p searches items with index ≡ p (mod P) — the static-shard
+    replacement for the master's dynamic dispatch (load balance comes
+    from fragment granularity, which the reference also relies on when
+    queries are not segmented);
+  * per-hit secondary-structure Tms are computed worker-side, exactly
+    like the reference worker (tntblast_worker.cpp:403-433);
+  * results return to process 0 as length-prefixed byte blobs over a
+    `process_allgather` collective — the analogue of the chunked
+    SIGNATURE_RESULTS mpi_pack stream (and of `synchronize_keys`: no
+    string-table union is needed because strings ride inside each
+    record);
+  * process 0 re-applies the single-host accumulation order (prepend
+    per work item), so the merged hit list is BYTE-IDENTICAL to the
+    1-process run, then runs the identical output pipeline.
+
+Run one process per rank:
+
+    python -m tntblast_tpu.parallel.multiproc \
+        --coordinator 127.0.0.1:9876 --num-procs 2 --proc-id 0 -- \
+        -i assays.txt -d db.fna -A PCR -e 40 -E 40 -o out.txt
+"""
+
+import io
+import os
+import pickle
+import sys
+import time
+
+
+def _gather_blobs(payload, num_processes):
+    """All-gather arbitrary per-process payloads as padded byte arrays
+    (the SIGNATURE_RESULTS analogue; fixed-layout across processes)."""
+    import numpy as np
+    from jax.experimental import multihost_utils as mhu
+
+    blob = np.frombuffer(pickle.dumps(payload), dtype=np.uint8)
+    sizes = mhu.process_allgather(np.array([blob.size], dtype=np.int64))
+    sizes = np.asarray(sizes).reshape(num_processes)
+    cap = int(sizes.max())
+    buf = np.zeros(cap, dtype=np.uint8)
+    buf[:blob.size] = blob
+    all_bufs = np.asarray(mhu.process_allgather(buf)).reshape(
+        num_processes, cap)
+    return [pickle.loads(all_bufs[p, :sizes[p]].tobytes())
+            for p in range(num_processes)]
+
+
+def _search_shard(opt, db, engine, process_id, num_processes):
+    """Search this process's work items; returns
+    (items_payload, fragment_target, profile) where items_payload is a
+    list of (item_idx, [(sig_id, kept_hits)...]) — mirrors the reference
+    worker loop (tntblast_worker.cpp:138-471)."""
+    from tntblast_tpu import engine as eng
+    from tntblast_tpu.search.native_assays import (
+        NativeFragContext, search_assay)
+
+    items, fragment_target = eng._fragment_work_items(opt, db)
+    payload = []
+    for idx, (tgt, start, stop, max_stop) in enumerate(items):
+        if idx % num_processes != process_id:
+            continue
+        defline, seq_codes = db.read(
+            tgt, start, stop + opt.max_product_length() + 2)
+        target_len = len(seq_codes)
+        if target_len < opt.hash_word_size:
+            continue
+        ctx = NativeFragContext(engine, seq_codes, opt.hash_word_size,
+                                defline)
+        per_sig = []
+        for sig in opt.sig_list:
+            kept = []
+            for h in search_assay(ctx, sig, opt):
+                # fragment-edge culling (reference worker :384-394)
+                if start != 0 and h.start_overlap(0):
+                    continue
+                if stop != max_stop and h.stop_overlap(target_len - 1):
+                    continue
+                h.seq_index = tgt
+                h.offset_ranges(start)
+                kept.append(h)
+            eng.compute_secondary_tms(engine, kept, opt)
+            per_sig.append((sig.id, kept))
+        ctx.close()
+        payload.append((idx, per_sig))
+    return payload, fragment_target
+
+
+def distributed_main(argv, process_id, num_processes, coordinator,
+                     stdout=None):
+    """SPMD search driver; every process runs this with its own rank."""
+    # Cross-process collectives on the CPU backend require the gloo
+    # transport (must be set before the CPU PJRT client is created; on
+    # TPU pods the ICI/DCN fabric provides collectives natively).
+    os.environ.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
+    import jax
+
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+    from tntblast_tpu import constants as C
+    from tntblast_tpu import engine as eng
+    from tntblast_tpu import output as out
+    from tntblast_tpu.io.fastx import open_database
+    from tntblast_tpu.model import (
+        read_input_file, expand_degenerate_signatures, multiplex_expansion)
+    from tntblast_tpu.options import Options, OptionsError
+
+    is_root = process_id == 0
+    if stdout is None:
+        stdout = sys.stdout if is_root else io.StringIO()
+
+    opt = Options()
+    try:
+        opt.parse(argv)
+        if opt.input_filename:
+            if opt.verbose:
+                stdout.write(f"Reading assays from {opt.input_filename}\n")
+            opt.sig_list = read_input_file(
+                opt.input_filename, opt.ignore_probe,
+                opt.assay_format == C.ASSAY_PROBE)
+        if opt.multiplex:
+            opt.sig_list = multiplex_expansion(opt.sig_list,
+                                               opt.assay_format)
+        opt.sig_list = expand_degenerate_signatures(
+            opt.sig_list, opt.degen_rescale_ct)
+        opt.validate_search_threshold()
+        if len(opt.sig_list) == 0:
+            raise OptionsError("No primers or probes found!")
+
+        dbname = opt.dbase_filename or opt.local_dbase_filename
+        if opt.verbose:
+            stdout.write(f"Reading sequence database: {dbname}\n")
+        db = open_database(dbname, blast_include=opt.blast_include,
+                           blast_exclude=opt.blast_exclude)
+        if db.size() == 0:
+            raise OptionsError("Empty database -- no sequences found!")
+
+        profile = time.time()
+        melt = eng.make_melt_engine(
+            opt, n_threads=int(os.environ.get("TNTBLAST_TPU_THREADS", 0))
+            or None)
+
+        payload, fragment_target = _search_shard(
+            opt, db, melt, process_id, num_processes)
+
+        # ---- result gather (SIGNATURE_RESULTS / synchronize_keys) ----
+        shards = _gather_blobs(payload, num_processes)
+        if not is_root:
+            return 0
+
+        # Re-apply the sequential accumulation order: work items in
+        # ascending index, each prepending its kept hits (identical to
+        # engine.run_search -> byte-identical final output).
+        merged = []
+        for shard in shards:
+            merged.extend(shard)
+        merged.sort(key=lambda kv: kv[0])
+
+        state = eng.SearchState(len(opt.sig_list))
+        state.fragment_target = fragment_target
+        inverse_query = bool(opt.output_format & C.OUTPUT_INVERSE_QUERY)
+        for _, per_sig in merged:
+            for sig_id, kept in per_sig:
+                if inverse_query:
+                    if kept:
+                        state.query_matches[sig_id] = True
+                else:
+                    state.search_results[sig_id] = (
+                        kept + state.search_results[sig_id])
+
+        fout = None
+        if opt.output_filename:
+            fout = open(opt.output_filename, "w")
+        out.write_results(opt, state, db, stdout=stdout,
+                          out_stream=fout if fout is not None else stdout,
+                          sif_stream=None, atr_stream=None,
+                          open_per_query=None)
+        if opt.verbose:
+            stdout.write(
+                f"Search completed in {int(time.time() - profile)} sec\n")
+        if fout is not None:
+            fout.close()
+    except OptionsError as e:
+        print(f"Caught the error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+def main():
+    args = sys.argv[1:]
+    try:
+        sep = args.index("--")
+    except ValueError:
+        print("usage: multiproc --coordinator H:P --num-procs N "
+              "--proc-id I -- <tntblast args>", file=sys.stderr)
+        return 2
+    own, rest = args[:sep], args[sep + 1:]
+    kv = dict(zip(own[0::2], own[1::2]))
+    return distributed_main(rest,
+                            process_id=int(kv["--proc-id"]),
+                            num_processes=int(kv["--num-procs"]),
+                            coordinator=kv["--coordinator"])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

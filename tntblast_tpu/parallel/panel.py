@@ -146,7 +146,10 @@ class PanelGroup:
                 word_len=self.word_len, num_os=self.num_os,
                 max_words=self.max_words, wq_max=self.wq_max,
                 tile_len=tile_len, cap=cap,
-                num_cond=max(len(self.cond_ts), 1))
+                num_cond=max(len(self.cond_ts), 1),
+                # no screening conditions -> everything is "kept"; the
+                # compacted list must hold every candidate
+                kcap=cap if not self.cond_ts else None)
             if mesh is not None:
                 from tntblast_tpu.parallel.mesh import MeshPanel
                 dp = MeshPanel(self.panel, cfg, self.dg_tables,
@@ -168,13 +171,22 @@ class FragmentPanelManager:
     fragments to aggregate per submission."""
 
     MIN_TILE = 1 << 14
+    # Fragments aggregated per device launch on a single chip: amortizes
+    # the fixed per-call dispatch/tunnel cost (measured 0.5-50 ms
+    # depending on link health, BASELINE.md) over many fragments.
+    SINGLE_CHIP_BATCH = 8
 
     def __init__(self, opt, engine, mesh=None):
+        import os as _os
         self.screen = TpuScreen(
             engine, dangle=opt.allow_dangle_5 or opt.allow_dangle_3)
         self.word_len = opt.hash_word_size
         self.mesh = mesh
-        self.batch = int(mesh.devices.size) if mesh is not None else 1
+        if mesh is not None:
+            self.batch = int(mesh.devices.size)
+        else:
+            env = _os.environ.get("TNTBLAST_TPU_BATCH")
+            self.batch = int(env) if env else self.SINGLE_CHIP_BATCH
         items = collect_slots(opt)
         self.groups = [
             PanelGroup(items[i:i + MAX_SLOTS], self.screen, self.word_len)
@@ -203,16 +215,17 @@ class FragmentPanelManager:
         return out
 
     def submit_batch(self, frag_code_list):
-        """Enqueue one sharded device step for a batch of fragments
-        (mesh mode; up to `batch` fragments ride one collective launch).
-        Returns a pending object for `resolve_batch`."""
+        """Enqueue one batched device step for a batch of fragments: one
+        launch per panel group covers up to `batch` fragments (sharded
+        across the mesh, or a vmap batch on a single chip).  Returns a
+        pending object for `resolve_batch`."""
         tile = self._tile_len(max(len(f) for f in frag_code_list))
         self.stats["fragments"] += len(frag_code_list)
-        return (len(frag_code_list),
-                [(g, g.device_panel(tile, mesh=self.mesh),
-                  g.device_panel(tile, mesh=self.mesh)
-                  .submit_fragments(frag_code_list))
-                 for g in self.groups])
+        out = []
+        for g in self.groups:
+            dp = g.device_panel(tile, mesh=self.mesh)
+            out.append((g, dp, dp.submit_fragments(frag_code_list)))
+        return (len(frag_code_list), out)
 
     def resolve_batch(self, pending):
         """List of per-fragment slot dicts for a submit_batch call."""
@@ -227,32 +240,35 @@ class FragmentPanelManager:
         """Fold one group's resolved fragment result into the slot dict:
         slot_key -> (q_off, t_pos, n_screened), kept seeds in reference
         order plus the count the device screen pruned.  A group that
-        overflowed the candidate capacity contributes nothing — the
-        caller falls back to host seeding for its slots."""
+        overflowed the candidate (or kept-seed) capacity contributes
+        nothing — the caller falls back to host seeding for its slots.
+
+        The resolve contract is the fast kept-only form (os_k/p_k/kmin_k
+        + per-slot total counts): screened-out candidates never cross the
+        device-to-host link."""
         if res["overflow"]:
             self.stats["fallback"] += 1
             return
-        os_idx = res["os_idx"]
-        keep = res["keep"]
-        p = res["p"].astype(np.int64)
-        kmin = res["kmin"].astype(np.int64)
-        self.stats["seeds"] += len(p)
-        self.stats["kept"] += int(keep.sum())
+        os_k = res["os_k"]
+        p = res["p_k"].astype(np.int64)
+        kmin = res["kmin_k"].astype(np.int64)
+        counts = res["counts"]
+        self.stats["seeds"] += int(counts.sum())
+        self.stats["kept"] += len(p)
         for i, key in enumerate(g.keys):
-            slot = (os_idx == i)
-            sel = slot & keep
+            sel = (os_k == i)
             # device order is ascending p; host order is ascending
             # delta = -p (reference sort_by_delta)
             q = kmin[sel][::-1]
             t = (p[sel] + kmin[sel])[::-1]
-            out[key] = (q, t, int(slot.sum()) - int(sel.sum()))
+            out[key] = (q, t, int(counts[i]) - int(sel.sum()))
 
     def resolve(self, pending):
         """Slot dict for a single-fragment submit call."""
         out = {}
         for g, dp, dev_out in pending:
             res = (dp.resolve_fragments(dev_out)[0] if self.mesh
-                   else dp.resolve_fragment(dev_out))
+                   else dp.resolve_fragment_fast(dev_out))
             self._merge_group(out, g, res)
         return out
 
