@@ -94,3 +94,81 @@ def test_search_matches_fasta(tmp_path, monkeypatch):
             stdout=io.StringIO())
         assert ret == 0
     assert out_f.read_text() == out_b.read_text()
+
+
+def test_v5_roundtrip_and_lmdb_index(tmp_path):
+    """v5 volumes add the LMDB accession index (<base>.ndb): reads must
+    round-trip and accession lookups must resolve through the index
+    (reference CSeqDB::AccessionToOids, sequence_data.cpp:89-143)."""
+    recs = [(f"NC_{i:06d}.1 v5 record {i}", _codes("ACGT" * (20 + i)))
+            for i in range(5)]
+    base = str(tmp_path / "db5")
+    blastdb.create_db(base, recs, version=5, taxids=[9606, 9606, 562,
+                                                     562, 10090])
+    assert (tmp_path / "db5.ndb").exists()
+
+    db = blastdb.BlastDb(base)
+    assert db.size() == 5
+    for i, (defline, seq) in enumerate(recs):
+        got_def, got = db.read(i)
+        assert got_def == defline
+        assert np.array_equal(got, seq)
+
+    # LMDB-backed accession include (with and without version suffix)
+    inc = blastdb.BlastDb(base, include=["NC_000002.1", "NC_000004"])
+    assert inc.size() == 2
+    assert inc.defline(0) == recs[2][0]
+    with pytest.raises(ValueError, match="included accession"):
+        blastdb.BlastDb(base, include=["NC_999999.9"])
+
+
+def test_v5_taxid_filtering(tmp_path):
+    """Numeric --blast-include/--blast-exclude entries are taxids
+    (reference sequence_data.cpp:52-61 is_number routing +
+    TaxIdsToOids)."""
+    recs = [(f"ACC{i} rec", _codes("ACGT" * 25)) for i in range(6)]
+    base = str(tmp_path / "db5")
+    blastdb.create_db(base, recs, version=5,
+                      taxids=[9606, 562, 9606, 10090, 562, 9606])
+
+    inc = blastdb.BlastDb(base, include=["9606"])
+    assert [inc.defline(i) for i in range(inc.size())] == [
+        "ACC0 rec", "ACC2 rec", "ACC5 rec"]
+    exc = blastdb.BlastDb(base, exclude=["562"])
+    assert exc.size() == 4
+    # mixed accession + taxid include, with a taxid exclude
+    mix = blastdb.BlastDb(base, include=["ACC1", "9606"],
+                          exclude=["ACC5"])
+    assert [mix.defline(i) for i in range(mix.size())] == [
+        "ACC0 rec", "ACC1 rec", "ACC2 rec"]
+    with pytest.raises(ValueError, match="included TaxID"):
+        blastdb.BlastDb(base, include=["777777"])
+    # v4 databases carry no taxonomy index -> taxid filtering THROWs
+    base4 = str(tmp_path / "db4")
+    blastdb.create_db(base4, recs)
+    with pytest.raises(ValueError, match="TaxID"):
+        blastdb.BlastDb(base4, include=["9606"])
+
+
+def test_v5_search_matches_reference_golden(tmp_path, monkeypatch):
+    """CLI-level: searching a v5 BLAST volume built from small_db.fna
+    must reproduce the recorded reference golden byte-for-byte (the
+    deflines are identical, so the output file is too)."""
+    from tntblast_tpu import cli
+
+    fdb = open_database(str(DATA / "small_db.fna"))
+    recs = [fdb.read(i) for i in range(fdb.size())]
+    base = str(tmp_path / "vol5")
+    blastdb.create_db(base, recs, version=5,
+                      taxids=list(range(len(recs))))
+
+    monkeypatch.chdir(DATA)
+    monkeypatch.setenv("TNTBLAST_TPU_THREADS", "1")
+    out = tmp_path / "v5.out"
+    ret = cli.local_main(
+        ["-i", "assay_pcr.txt", "-d", base, "-A", "PCR",
+         "-e", "40", "-E", "40", "-o", str(out)],
+        stdout=io.StringIO())
+    assert ret == 0
+    want = (HERE / "golden" / "e2e" / "pcr_small.out").read_text()
+    assert out.read_text() == want

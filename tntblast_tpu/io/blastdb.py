@@ -174,11 +174,18 @@ def _first_string(node):
 
 # ---------------------------------------------------------------------------
 
-def create_db(base, records, title="tntblast_tpu db"):
-    """Write a v4 nucleotide volume (.nin/.nhr/.nsq).
+def create_db(base, records, title="tntblast_tpu db", version=4,
+              taxids=None):
+    """Write a v4 or v5 nucleotide volume (.nin/.nhr/.nsq).
 
     records: [(defline, db_codes uint8 array)]; the defline's first word
     becomes the sequence id (the accession used by --blast-include).
+    version=5 additionally writes the `<base>.ndb` LMDB accession index
+    (sub-database ACC2OID: accession -> u32 OID) and, when `taxids` is
+    given ([taxid_per_record]), the TAXID2OIDS taxonomy index
+    (u32 taxid -> packed u32 OID array) used for numeric
+    --blast-include/--blast-exclude entries (reference
+    sequence_data.cpp:49-240 TaxIdsToOids semantics).
     """
     import datetime
 
@@ -239,10 +246,14 @@ def create_db(base, records, title="tntblast_tpu db"):
         seq_off.append(len(nsq))
 
     date = datetime.date(2026, 1, 1).strftime("%b %d, %Y")
+    volname = base.rsplit("/", 1)[-1]
     nin = bytearray()
-    nin += struct.pack(">I", 4)                   # format version
+    nin += struct.pack(">I", version)             # format version
     nin += struct.pack(">I", 0)                   # 0 = nucleotide
     nin += struct.pack(">I", len(title)) + title.encode()
+    if version == 5:
+        # v5 inserts the LMDB volume-name string after the title
+        nin += struct.pack(">I", len(volname)) + volname.encode()
     nin += struct.pack(">I", len(date)) + date.encode()
     nin += struct.pack(">I", len(records))
     nin += struct.pack("<Q", total)               # the little-endian quirk
@@ -258,6 +269,27 @@ def create_db(base, records, title="tntblast_tpu db"):
     open(base + ".nin", "wb").write(nin)
     open(base + ".nhr", "wb").write(nhr)
     open(base + ".nsq", "wb").write(nsq)
+
+    if version == 5:
+        from tntblast_tpu.io.lmdb import write_env
+        acc2oid = {}
+        for oid, (defline, _) in enumerate(records):
+            words = defline.split()
+            acc = words[0] if words else f"lcl|seq{oid}"
+            acc2oid[acc.encode()] = struct.pack("<I", oid)
+            if "." in acc:
+                # versionless alias, like the NCBI index
+                acc2oid.setdefault(acc.rsplit(".", 1)[0].encode(),
+                                   struct.pack("<I", oid))
+        dbs = {"ACC2OID": acc2oid}
+        if taxids is not None:
+            tax = {}
+            for oid, t in enumerate(taxids):
+                tax.setdefault(int(t), []).append(oid)
+            dbs["TAXID2OIDS"] = {
+                struct.pack("<I", t): struct.pack(f"<{len(oids)}I", *oids)
+                for t, oids in tax.items()}
+        write_env(base + ".ndb", dbs)
 
 
 class BlastDb:
@@ -304,25 +336,77 @@ class BlastDb:
                                  dtype=np.uint8)
         self.n_vol = nseq
 
-        # OID filtering by accession (reference sequence_data.cpp:49-240;
-        # include takes precedence like the reference's OID mask)
-        self.oids = list(range(nseq))
-        if include or exclude:
-            inc = set(include or [])
-            exc = set(exclude or [])
-            kept = []
-            for oid in self.oids:
-                title, sid = self._defline(oid)
-                acc = sid or (title.split()[0] if title.split() else "")
-                if include:
-                    if acc in inc or title.split()[0] in inc:
-                        kept.append(oid)
-                elif acc not in exc and (not title.split()
-                                         or title.split()[0] not in exc):
-                    kept.append(oid)
-            self.oids = kept
+        # v5 LMDB indices (reference CSeqDB AccessionToOids /
+        # TaxIdsToOids, sequence_data.cpp:89-196): accession -> OID and
+        # numeric taxid -> OID-list lookups.
+        self._lmdb = None
+        if version == 5:
+            try:
+                from tntblast_tpu.io.lmdb import LmdbEnv
+                self._lmdb = LmdbEnv(base + ".ndb")
+            except (OSError, ValueError):
+                self._lmdb = None
+
+        # OID filtering (reference sequence_data.cpp:49-240): entries
+        # that parse as unsigned integers are taxids, everything else is
+        # an accession; include restricts, exclude removes.
+        oid_include = set()
+        oid_exclude = set()
+        for entries, out, kind in ((include or [], oid_include, "included"),
+                                   (exclude or [], oid_exclude, "excluded")):
+            for entry in entries:
+                if entry.isdigit():
+                    oids = self._taxid_to_oids(int(entry))
+                    if oids is None:
+                        raise ValueError(
+                            f"Unable to find an {kind} TaxID in BLAST "
+                            "database")
+                else:
+                    oids = self._accession_to_oids(entry)
+                    if not oids:
+                        raise ValueError(
+                            f"Unable to find an {kind} accession in BLAST "
+                            "database")
+                out.update(oids)
+
+        self.oids = [oid for oid in range(nseq)
+                     if (not include or oid in oid_include)
+                     and oid not in oid_exclude]
 
         self._lens = [int(self._seq_len(o)) for o in self.oids]
+
+    def _accession_to_oids(self, acc):
+        """CSeqDB::AccessionToOids: v5 resolves through the LMDB ACC2OID
+        index; v4 falls back to a defline scan (the stand-in for the v4
+        ISAM string index)."""
+        if self._lmdb is not None:
+            raw = self._lmdb.get(acc.encode(), db="ACC2OID")
+            if raw is None:
+                return []
+            return [struct.unpack_from("<I", raw, i)[0]
+                    for i in range(0, len(raw), 4)]
+        out = []
+        for oid in range(self.n_vol):
+            title, sid = self._defline(oid)
+            first = title.split()[0] if title.split() else ""
+            if acc in (sid, first):
+                out.append(oid)
+        return out
+
+    def _taxid_to_oids(self, taxid):
+        """CSeqDB::TaxIdsToOids via the TAXID2OIDS LMDB table; None when
+        the database carries no taxonomy index or the taxid is absent
+        (the reference THROWs in both cases)."""
+        if self._lmdb is None:
+            return None
+        try:
+            raw = self._lmdb.get(struct.pack("<I", taxid), db="TAXID2OIDS")
+        except ValueError:
+            return None
+        if raw is None:
+            return None
+        return [struct.unpack_from("<I", raw, i)[0]
+                for i in range(0, len(raw), 4)]
 
     # -- SequenceDatabase interface ------------------------------------
     def is_annot_format(self):
