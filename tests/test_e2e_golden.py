@@ -62,7 +62,8 @@ def test_golden_config(name, tmp_path, monkeypatch, capfd):
 
 
 @pytest.mark.parametrize("name", ["pcr_frag", "taqman", "padlock",
-                                  "probe_small", "plex"])
+                                  "probe_small", "plex", "query_seg",
+                                  "query_seg_frag"])
 def test_golden_config_threaded(name, tmp_path, monkeypatch):
     """The threaded fragment loop (engine._run_search_parallel) must
     produce a byte-identical hit list to the sequential run."""

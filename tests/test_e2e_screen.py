@@ -72,3 +72,82 @@ def test_screen_prunes_random_background(tmp_path, monkeypatch):
     s = stats["obj"].stats
     assert s["seeds"] > 0, s
     assert s["kept"] <= 0.4 * s["seeds"], s
+
+
+def test_dinkelbach_screen_prunes(tmp_path, monkeypatch):
+    """Under --dinkelbach the screen must stay ACTIVE (the slack bound is
+    alignment-agnostic, test_screen_slack.py) — the dinkelbach screen run
+    must both prune background windows and keep the golden output (the
+    parity half runs in test_screened_matches_golden[pcr_dinkelbach])."""
+    import random
+
+    from tntblast_tpu import cli
+    from tntblast_tpu.parallel import panel as panel_mod
+
+    rng = random.Random(5)
+    db = tmp_path / "rand.fna"
+    db.write_text(">rand\n"
+                  + "".join(rng.choice("ACGT") for _ in range(60000)) + "\n")
+
+    stats = {}
+    orig_init = panel_mod.FragmentPanelManager.__init__
+
+    def spy_init(self, *a, **k):
+        orig_init(self, *a, **k)
+        stats["obj"] = self
+
+    monkeypatch.setattr(panel_mod.FragmentPanelManager, "__init__",
+                        spy_init)
+    monkeypatch.chdir(DATA)
+    monkeypatch.setenv("TNTBLAST_TPU_THREADS", "1")
+    ret = cli.local_main(
+        ["-i", "assay_pcr.txt", "-d", str(db), "-A", "PCR",
+         "-e", "40", "-E", "40", "-o", str(tmp_path / "o.out"),
+         "--dinkelbach", "T", "--tpu-screen", "T", "-v", "F"],
+        stdout=io.StringIO())
+    assert ret == 0
+    s = stats["obj"].stats
+    assert s["seeds"] > 0, s
+    assert s["kept"] < s["seeds"], "dinkelbach screen pruned nothing"
+
+
+def test_overflow_falls_back_to_host(tmp_path, monkeypatch, capsys):
+    """A repetitive genome that overflows the device candidate capacity
+    must fall back to host seeding for the affected panel groups — with
+    identical output to the unscreened run and a user-visible warning
+    (not just an env-gated profile counter)."""
+    from tntblast_tpu import cli
+    from tntblast_tpu.parallel import panel as panel_mod
+
+    # genome = the forward primer tandem-repeated: every position seeds
+    fwd = "TTGACCTAGATATTCAGCAAC"
+    db = tmp_path / "rep.fna"
+    db.write_text(">rep\n" + fwd * 1200 + "\n")
+
+    stats = {}
+    orig_init = panel_mod.FragmentPanelManager.__init__
+
+    def spy_init(self, *a, **k):
+        orig_init(self, *a, **k)
+        stats["obj"] = self
+
+    monkeypatch.setattr(panel_mod.FragmentPanelManager, "__init__",
+                        spy_init)
+    monkeypatch.setattr(panel_mod, "MAX_CAP", 2048)  # force overflow
+    monkeypatch.chdir(DATA)
+    monkeypatch.setenv("TNTBLAST_TPU_THREADS", "1")
+
+    out_scr = tmp_path / "scr.out"
+    out_ref = tmp_path / "ref.out"
+    argv = ["-i", "assay_pcr.txt", "-d", str(db), "-A", "PCR",
+            "-e", "40", "-E", "40", "-v", "F"]
+    ret = cli.local_main(argv + ["-o", str(out_scr), "--tpu-screen", "T"],
+                         stdout=io.StringIO())
+    assert ret == 0
+    assert stats["obj"].stats["fallback"] > 0, stats["obj"].stats
+    err = capsys.readouterr().err
+    assert "fell back to host seeding" in err
+
+    ret = cli.local_main(argv + ["-o", str(out_ref)], stdout=io.StringIO())
+    assert ret == 0
+    assert out_scr.read_text() == out_ref.read_text()

@@ -233,6 +233,15 @@ def _fragment_work_items(opt, db):
     return items, fragment_target
 
 
+def _sig_subset(opt, query_idx):
+    """Signature list slice for one work item: all queries, or a single
+    one under forced query segmentation (the (target, fragment, query)
+    triple of reference tntblast_local.cpp:400-470 with [qs] active)."""
+    if query_idx is None:
+        return opt.sig_list
+    return opt.sig_list[query_idx:query_idx + 1]
+
+
 def _run_search_parallel(opt, db, engine, stdout, n_threads,
                          panel_mgr=None):
     """Threaded fragment loop: work items run on a host thread pool (the
@@ -255,13 +264,22 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
 
     state = SearchState(num_sig)
     items, state.fragment_target = _fragment_work_items(opt, db)
+    # Forced query segmentation (--query-seg T): the work item becomes a
+    # (target, fragment, query) triple (reference tntblast_local.cpp
+    # :400-470 with [qs] active) — the query axis parallelizes too.
+    seg_on = opt.query_segmentation == C.QUERY_SEGMENTATION_ON
+    if seg_on:
+        items = [it + (q,) for it in items for q in range(num_sig)]
+    else:
+        items = [it + (None,) for it in items]
     inv_total = 1.0 / (float(db.size()) * float(num_sig))
 
     progress = ProgressDisplay(stdout, opt.verbose)
     progress.start()
 
     def work(local_target, local_target_start, local_target_stop,
-             local_target_max_stop, defline, seq_codes, pending_dev):
+             local_target_max_stop, query_idx, defline, seq_codes,
+             pending_dev):
         target_len = len(seq_codes)
         if target_len < opt.hash_word_size:
             # too small to hash (reference tntblast_local.cpp:513-529)
@@ -276,7 +294,7 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
         ctx = NativeFragContext(engine, seq_codes, opt.hash_word_size,
                                 defline, panel_result=panel_result)
         per_sig = []
-        for sig in opt.sig_list:
+        for sig in _sig_subset(opt, query_idx):
             local_results = search_assay(ctx, sig, opt)
             kept = []
             for h in local_results:
@@ -320,7 +338,7 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
         buf = []        # mesh mode: (work args, wants_device) accumulator
 
         def flush_buf():
-            frags = [a[5] for a, w in buf if w]
+            frags = [a[6] for a, w in buf if w]
             handle = (_BatchHandle(panel_mgr, frags) if frags else None)
             j = 0
             for a, w in buf:
@@ -331,15 +349,15 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
                 pending.append((pool.submit(work, *a, dev), a[0]))
             buf.clear()
 
-        for (tgt, start, stop, max_stop) in items:
+        for (tgt, start, stop, max_stop, qidx) in items:
             defline, seq_codes = db.read(tgt, start,
                                          stop + max_product_length)
             wants_dev = (panel_mgr is not None
                          and len(seq_codes) >= opt.hash_word_size)
-            if batch_n > 1:
-                # mesh mode: aggregate a device batch so one sharded
-                # launch covers `batch_n` fragments across the mesh
-                buf.append(((tgt, start, stop, max_stop, defline,
+            if batch_n > 1 and wants_dev:
+                # aggregate a device batch so one launch covers
+                # `batch_n` fragments (mesh shard or single-chip vmap)
+                buf.append(((tgt, start, stop, max_stop, qidx, defline,
                              seq_codes), wants_dev))
                 if sum(1 for _, w in buf if w) >= batch_n:
                     flush_buf()
@@ -347,7 +365,7 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
                 pending_dev = (panel_mgr.submit(seq_codes)
                                if wants_dev else None)
                 pending.append(
-                    (pool.submit(work, tgt, start, stop, max_stop,
+                    (pool.submit(work, tgt, start, stop, max_stop, qidx,
                                  defline, seq_codes, pending_dev), tgt))
             while len(pending) > 2 * max(n_threads, batch_n):
                 fut, t = pending.popleft()
@@ -362,8 +380,22 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
         state.profile["device_calls"] = panel_mgr.stats["fragments"]
         state.profile["device_seeds"] = panel_mgr.stats["seeds"]
         state.profile["device_kept"] = panel_mgr.stats["kept"]
+        _warn_fallback(panel_mgr)
     progress.finish()
     return state
+
+
+def _warn_fallback(panel_mgr):
+    """Capacity overflows silently disable the device screen for the
+    affected (fragment, group) pairs — correct but slow; tell the user
+    (reference-style cerr warning) instead of hiding it behind the
+    env-gated profile counters."""
+    n = panel_mgr.stats.get("fallback", 0)
+    if n:
+        sys.stderr.write(
+            f"Warning: device candidate capacity overflowed on {n} "
+            "fragment group(s); those fell back to host seeding "
+            "(repetitive target?)\n")
 
 
 def run_search(opt, db: SequenceDatabase, engine, stdout=None):
@@ -401,13 +433,15 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
                 mesh = make_mesh()
             panel_mgr = FragmentPanelManager(opt, engine, mesh=mesh)
 
-    # Fast path: native fragment search on a host thread pool.  Query
-    # segmentation never triggers at num_worker == 1 (query_sched,
-    # reference tntblast_util.cpp:1793-1844), so the parallel loop only
-    # needs the fragment axis; forced segmentation (--query-seg T) uses
-    # the sequential loop below.
-    if (opt.query_segmentation != C.QUERY_SEGMENTATION_ON
-            and getattr(engine, "n_threads", 1) > 1):
+    # Fast path: native fragment search on a host thread pool.  Adaptive
+    # query segmentation never triggers at num_worker == 1 (query_sched,
+    # reference tntblast_util.cpp:1793-1844); forced segmentation
+    # (--query-seg T) runs threaded too, with (fragment, query) work
+    # items — except combined with a device panel, where the sequential
+    # loop avoids duplicating the per-fragment device step per query.
+    if (getattr(engine, "n_threads", 1) > 1
+            and (opt.query_segmentation != C.QUERY_SEGMENTATION_ON
+                 or panel_mgr is None)):
         return _run_search_parallel(opt, db, engine, stdout,
                                     engine.n_threads, panel_mgr=panel_mgr)
 
@@ -557,6 +591,7 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
         state.add_phases(ctx.frag.profile())
     if panel_mgr is not None:
         state.profile["device_calls"] = panel_mgr.stats["fragments"]
+        _warn_fallback(panel_mgr)
     progress.finish()
     return state
 

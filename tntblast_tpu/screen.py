@@ -93,13 +93,16 @@ class TpuScreen:
         """[(tag, T, min_score)] — a surviving window needs DP score >=
         min_score at every temperature T (int fixed-point, x10000).
 
-        Under --dinkelbach the reported Tm comes from the fractional-
-        programming iteration (alignments re-optimized at T=Tm), for
-        which the conservative-slack bound was not established: screening
-        is disabled (empty condition list) so results stay exact."""
+        The bound is alignment-agnostic, so it covers --dinkelbach too:
+        the Dinkelbach iteration (reference nuc_cruc.cpp:2399-2440) only
+        changes WHICH alignment A* of the window gets reported, never the
+        evaluator.  The reported Tm/dG still come from evaluate_alignment
+        on A*, hence  dG_exact(A*, T) >= path(A*, T) - slack >= dp(T) -
+        slack  at every screening temperature T: the same two conditions
+        remain necessary for a hit (test_screen_slack_property covers
+        adversarial loop/bulge/frayed/dangling alignments at multiple
+        temperatures)."""
         conds = []
-        if getattr(self.engine, "dinkelbach", False):
-            return conds
         if filt["min_tm"] > 0 and conc > 0:
             tk = filt["min_tm"] + 273.15
             bound = tk * R_GAS * math.log(conc) + self.slack
