@@ -176,7 +176,7 @@ def local_main(argv, stdout=None):
             pr = getattr(state, "profile", {})
             print(f"[profile] exact melt evaluations = "
                   f"{pr.get('evaluated', 0)}", file=sys.stderr)
-            print(f"[profile] device-screened windows = "
+            print(f"[profile] screened windows (host+device) = "
                   f"{pr.get('screened', 0)}", file=sys.stderr)
             print(f"[profile] device screen calls = "
                   f"{pr.get('device_calls', 0)}", file=sys.stderr)

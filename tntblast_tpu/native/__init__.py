@@ -392,8 +392,10 @@ class FragSearch:
         return {"screened": int(a[0]), "evaluated": int(b[0])}
 
     def profile(self):
-        """Phase cycle counters (rdtsc): index/seed/extract/dp/tm/sort/pair."""
-        t = np.zeros(7, np.int64)
+        """Phase cycle counters (rdtsc):
+        index/seed/extract/screen/dp/tm/sort/pair."""
+        t = np.zeros(8, np.int64)
         self._lib.tnt_frag_profile(self._h, t)
-        names = ("index", "seed", "extract", "dp", "tm", "sort", "pair")
+        names = ("index", "seed", "extract", "screen", "dp", "tm", "sort",
+                 "pair")
         return dict(zip(names, (int(v) for v in t)))

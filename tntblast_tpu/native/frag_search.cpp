@@ -22,8 +22,10 @@
 #include "melt_engine.cpp"
 
 #include <unordered_map>
+#include <map>
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <x86intrin.h>
 
 namespace {
@@ -393,6 +395,10 @@ struct FragCtx {
     MeltCache cache_plus, cache_minus;
     OligoIntern intern;
     std::unordered_map<const void*, QueryLUT> lut_cache;  // per oligo
+    // host-screen tables: delta_g at a screening temperature, and the
+    // per-(oligo, temperature) score-only LUTs
+    std::map<int32_t, std::vector<int>> cond_dg_cache;  // key: T * 1e4
+    std::map<std::pair<const void*, int32_t>, QueryLUT> cond_lut_cache;
     // (oligo, minus) -> seeds: computed for candidate export, reused by
     // the search (identical enumeration both times)
     std::unordered_map<const void*,
@@ -406,7 +412,7 @@ struct FragCtx {
     // seed enumeration, window extract+cache, DP, traceback+rescore,
     // sort/cull, pairing
     int64_t t_index = 0, t_seed = 0, t_extract = 0, t_dp = 0, t_tm = 0,
-            t_sort = 0, t_pair = 0;
+            t_sort = 0, t_pair = 0, t_screen = 0;
 
     ~FragCtx() { delete st; }
 };
@@ -640,6 +646,123 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
         misses.push_back(std::move(mi));
     }
     delete ext_t;
+
+    // ---- Host screening pass -------------------------------------------
+    // The same conservative proof as the device screen (screen.py,
+    // test_screen_slack.py), run natively: a score-only DP at each
+    // screening temperature; a window whose dp(T) fails the derived
+    // min-score can never satisfy the filter and becomes a stub, skipping
+    // the full DP + traceback + exact re-scoring.  This inverts the
+    // reference's evaluate-everything control flow (bind_oligo.cpp:261-362)
+    // into screen-then-evaluate — the SURVEY §7.3 design — on the host.
+    static const bool host_screen_on = []() {
+        const char* e = getenv("TNTBLAST_TPU_HOST_SCREEN");
+        return !(e && e[0] == '0');
+    }();
+    if (host_screen_on && !misses.empty()) {
+        PhaseTimer pt_screen(&ctx.t_screen);
+        struct Cond { float T; Score ms; uint8_t flag; };  // 1=tm, 2=dg
+        Cond conds[2];
+        int n_cond = 0;
+        const Engine& eng = *ctx.eng;
+        // slack: exact re-scoring can beat the DP path energy by at most
+        // this much (kcal/mol) — screen.py TpuScreen.SLACK_* values,
+        // empirically bounded with margin by tests/test_screen_slack.py
+        const double slack = (eng.dangle5 || eng.dangle3) ? 7.0 : 4.0;
+        const double R = 1.9872e-3;               // reference nuc_cruc.h:33
+        if (filt.min_tm > 0 && strand_conc > 0) {
+            const double tk = (double)filt.min_tm + 273.15;
+            const double bound = tk * R * log((double)strand_conc) + slack;
+            const double init_dg =
+                (double)eng.t.init_H - tk * (double)eng.t.init_S;
+            const double ms = ceil((init_dg - bound) * 10000.0);
+            if (ms > 0)
+                conds[n_cond++] = {(float)tk,
+                    (Score)std::min(ms, 1e9), 1};
+        }
+        {
+            const double ts = (double)eng.base_T;
+            const double bound = (double)filt.max_dg + slack;
+            const double init_dg =
+                (double)eng.t.init_H - ts * (double)eng.t.init_S;
+            const double ms = ceil((init_dg - bound) * 10000.0);
+            if (ms > 0)
+                conds[n_cond++] = {(float)ts,
+                    (Score)std::min(ms, 1e9), 2};
+        }
+        if (n_cond > 0) {
+            const QueryLUT* luts[2];
+            for (int c = 0; c < n_cond; ++c) {
+                const int32_t tkey = (int32_t)lrint(conds[c].T * 10000.0f);
+                QueryLUT& lut = ctx.cond_lut_cache[{oligo, tkey}];
+                if (lut.wq != (int)oligo->size()) {
+                    auto& dg = ctx.cond_dg_cache[tkey];
+                    if (dg.empty()) {
+                        dg.resize(NUM_BP * NUM_BP);
+                        update_dp_param(eng, conds[c].T, dg.data());
+                    }
+                    build_query_lut_dg(oligo->data(), (int)oligo->size(),
+                                       dg.data(), lut);
+                }
+                luts[c] = &lut;
+            }
+
+            // group same-length windows into lanes (as the exact pass)
+            std::vector<int> sorder(misses.size());
+            for (size_t k = 0; k < sorder.size(); ++k) sorder[k] = (int)k;
+            std::stable_sort(sorder.begin(), sorder.end(),
+                             [&](int a, int b) {
+                return misses[a].win.size() < misses[b].win.size();
+            });
+            std::vector<uint8_t> fail(misses.size(), 0);
+            Score scores[DP_LANES];
+            const uint8_t* tgts[DP_LANES];
+            size_t g0 = 0;
+            while (g0 < sorder.size()) {
+                const int t_len = (int)misses[sorder[g0]].win.size();
+                size_t g1 = g0;
+                while (g1 < sorder.size()
+                       && (int)misses[sorder[g1]].win.size() == t_len)
+                    ++g1;
+                if (t_len == 0) { g0 = g1; continue; }
+                for (size_t c0 = g0; c0 < g1; c0 += DP_LANES) {
+                    const int n = (int)std::min((size_t)DP_LANES, g1 - c0);
+                    for (int l = 0; l < n; ++l)
+                        tgts[l] = misses[sorder[c0 + l]].win.data();
+                    for (int l = n; l < DP_LANES; ++l) tgts[l] = tgts[0];
+                    for (int c = 0; c < n_cond; ++c) {
+                        dp_batch_score(*luts[c], tgts, t_len, n, scores);
+                        for (int l = 0; l < n; ++l)
+                            if (scores[l] < conds[c].ms)
+                                fail[sorder[c0 + l]] |= conds[c].flag;
+                    }
+                }
+                g0 = g1;
+            }
+
+            // failing windows -> stubs; survivors stay for the exact pass
+            std::vector<MissItem> kept;
+            kept.reserve(misses.size());
+            for (size_t k = 0; k < misses.size(); ++k) {
+                if (!fail[k]) {
+                    kept.push_back(std::move(misses[k]));
+                    continue;
+                }
+                CacheVal v;
+                v.stub = true;
+                v.stub_fail_tm = (fail[k] & 1) != 0;
+                v.stub_fail_dg = (fail[k] & 2) != 0;
+                v.stub_min_tm = filt.min_tm;
+                v.stub_max_dg = filt.max_dg;
+                v.stub_conc = strand_conc;
+                cache.emplace(CacheKey{oligo, misses[k].key.start,
+                                       misses[k].key.stop}, std::move(v));
+                ++ctx.screened;
+            }
+            misses.swap(kept);
+        }
+    }
+
     ctx.evaluated += (int64_t)misses.size();
 
     if (!misses.empty()) {
@@ -1267,12 +1390,12 @@ void tnt_frag_stats(void* ctx_ptr, int64_t* screened, int64_t* evaluated)
 }
 
 // Phase cycle counters (rdtsc): [index, seed, extract, dp, tm, sort, pair]
-void tnt_frag_profile(void* ctx_ptr, int64_t* out7)
+void tnt_frag_profile(void* ctx_ptr, int64_t* out8)
 {
     FragCtx& ctx = *(FragCtx*)ctx_ptr;
-    out7[0] = ctx.t_index; out7[1] = ctx.t_seed; out7[2] = ctx.t_extract;
-    out7[3] = ctx.t_dp; out7[4] = ctx.t_tm; out7[5] = ctx.t_sort;
-    out7[6] = ctx.t_pair;
+    out8[0] = ctx.t_index; out8[1] = ctx.t_seed; out8[2] = ctx.t_extract;
+    out8[3] = ctx.t_screen; out8[4] = ctx.t_dp; out8[5] = ctx.t_tm;
+    out8[6] = ctx.t_sort; out8[7] = ctx.t_pair;
 }
 
 // Fetch the hits of the last search call.

@@ -649,11 +649,9 @@ struct QueryLUT {
     std::vector<int32_t> qe;       // global 324
 };
 
-void build_query_lut(const MeltState& st, QueryLUT& lut)
+void build_query_lut_dg(const uint8_t* q, int q_len, const int* dg,
+                        QueryLUT& lut)
 {
-    const int q_len = st.q_len;
-    const uint8_t* q = st.qbuf;
-    const int* dg = st.delta_g;
     lut.wq = q_len;
     lut.mm.resize((size_t)q_len * 324);
     lut.mq.resize((size_t)q_len * 324);
@@ -692,6 +690,11 @@ void build_query_lut(const MeltState& st, QueryLUT& lut)
         }
         lut.te[i - 1] = dg[bp_gap_pq * NUM_BP + cur_bp_gq];
     }
+}
+
+void build_query_lut(const MeltState& st, QueryLUT& lut)
+{
+    build_query_lut_dg(st.qbuf, st.q_len, st.delta_g, lut);
 }
 
 void ensure_dp_batch(MeltState& st, int q_len, int t_len)
@@ -988,6 +991,189 @@ void align_dimer_batch(MeltState& st, const QueryLUT& lut,
                 if (rowp[(size_t)j * DP_LANES + l] == vmax[l])
                     max_cells[l].push_back((int64_t)(row + 1 + j));
     }
+}
+
+// ---------------------------------------------------------------------------
+// Score-only batched DP: the host screening kernel.  Identical recurrence
+// to dp_batch_rows_* but keeps only two rolling rows and a running max —
+// no trace bits, no matrix retention — so it costs a fraction of the full
+// DP.  Used to evaluate the conservative screen dp(T) >= min_score at the
+// screening temperatures (screen.py proof; slack covers exact-vs-path,
+// and this DP computes dp(T) exactly, so no extra margin is needed).
+
+#ifdef TNT_HAVE_AVX2_DISPATCH
+__attribute__((target("avx2")))
+void dp_batch_score_rows_avx2(const QueryLUT& lut, const int32_t* tpv,
+                              const int32_t* qev, int q_len, int t_len,
+                              Score* vmax_out)
+{
+    static thread_local std::vector<Score> buf;
+    const size_t stride = (size_t)(t_len + 1) * DP_LANES;
+    buf.resize(6 * stride);
+    Score* prevM = buf.data();
+    Score* prevIq = prevM + stride;
+    Score* prevIt = prevIq + stride;
+    Score* curM = prevIt + stride;
+    Score* curIq = curM + stride;
+    Score* curIt = curIq + stride;
+    for (size_t k = 0; k < 3 * stride; ++k) buf[k] = -1;
+
+    const __m256i zero = _mm256_setzero_si256();
+    const __m256i neg1 = _mm256_set1_epi32(-1);
+    __m256i vmax = neg1;
+
+    for (int i = 1; i <= q_len; ++i) {
+        const int32_t* mm = &lut.mm[(size_t)(i - 1) * 324];
+        const int32_t* mq = &lut.mq[(size_t)(i - 1) * 324];
+        const int32_t* mt = &lut.mt[(size_t)(i - 1) * 324];
+        const int32_t* qi = &lut.qi[(size_t)(i - 1) * 324];
+        const int32_t* ti = &lut.ti[(size_t)(i - 1) * 324];
+        const __m256i vte = _mm256_set1_epi32(lut.te[i - 1]);
+
+        __m256i diagM = neg1, diagIq = neg1, diagIt = neg1;
+        __m256i mprev = neg1, iqprev = neg1;
+        _mm256_storeu_si256((__m256i*)curM, neg1);
+        _mm256_storeu_si256((__m256i*)curIq, neg1);
+        _mm256_storeu_si256((__m256i*)curIt, neg1);
+
+        for (int j = 1; j <= t_len; ++j) {
+            const __m256i upM = _mm256_loadu_si256(
+                (const __m256i*)(prevM + (size_t)j * DP_LANES));
+            const __m256i upIq = _mm256_loadu_si256(
+                (const __m256i*)(prevIq + (size_t)j * DP_LANES));
+            const __m256i upIt = _mm256_loadu_si256(
+                (const __m256i*)(prevIt + (size_t)j * DP_LANES));
+            const __m256i vtp = _mm256_loadu_si256(
+                (const __m256i*)(tpv + (size_t)(j - 1) * DP_LANES));
+
+            const __m256i dgmm = _mm256_i32gather_epi32(mm, vtp, 4);
+            const __m256i dgmq = _mm256_i32gather_epi32(mq, vtp, 4);
+            const __m256i dgmt = _mm256_i32gather_epi32(mt, vtp, 4);
+            const __m256i dgqi = _mm256_i32gather_epi32(qi, vtp, 4);
+            const __m256i dgti = _mm256_i32gather_epi32(ti, vtp, 4);
+            const __m256i dgqe = _mm256_loadu_si256(
+                (const __m256i*)(qev + (size_t)(j - 1) * DP_LANES));
+
+            const __m256i a1 = _mm256_sub_epi32(
+                _mm256_max_epi32(diagM, zero), dgmm);
+            const __m256i a2 = _mm256_sub_epi32(
+                _mm256_max_epi32(diagIq, zero), dgmq);
+            const __m256i a3 = _mm256_sub_epi32(
+                _mm256_max_epi32(diagIt, zero), dgmt);
+            const __m256i m = _mm256_max_epi32(a1, _mm256_max_epi32(a2, a3));
+
+            const __m256i ins = _mm256_sub_epi32(
+                _mm256_max_epi32(mprev, zero), dgqi);
+            const __m256i ext = _mm256_sub_epi32(
+                _mm256_max_epi32(iqprev, zero), dgqe);
+            const __m256i iq = _mm256_max_epi32(ins, ext);
+
+            const __m256i ins2 = _mm256_sub_epi32(
+                _mm256_max_epi32(upM, zero), dgti);
+            const __m256i ext2 = _mm256_sub_epi32(
+                _mm256_max_epi32(upIt, zero), vte);
+            const __m256i it = _mm256_max_epi32(ins2, ext2);
+
+            _mm256_storeu_si256((__m256i*)(curM + (size_t)j * DP_LANES), m);
+            _mm256_storeu_si256((__m256i*)(curIq + (size_t)j * DP_LANES),
+                                iq);
+            _mm256_storeu_si256((__m256i*)(curIt + (size_t)j * DP_LANES),
+                                it);
+            vmax = _mm256_max_epi32(vmax, m);
+
+            diagM = upM; diagIq = upIq; diagIt = upIt;
+            mprev = m; iqprev = iq;
+        }
+        std::swap(prevM, curM);
+        std::swap(prevIq, curIq);
+        std::swap(prevIt, curIt);
+    }
+    _mm256_storeu_si256((__m256i*)vmax_out, vmax);
+}
+#endif  // TNT_HAVE_AVX2_DISPATCH
+
+void dp_batch_score_rows_scalar(const QueryLUT& lut, const int32_t* tpv,
+                                const int32_t* qev, int q_len, int t_len,
+                                Score* vmax_out)
+{
+    static thread_local std::vector<Score> buf;
+    const size_t stride = (size_t)(t_len + 1) * DP_LANES;
+    buf.resize(6 * stride);
+    Score* prevM = buf.data();
+    Score* prevIq = prevM + stride;
+    Score* prevIt = prevIq + stride;
+    Score* curM = prevIt + stride;
+    Score* curIq = curM + stride;
+    Score* curIt = curIq + stride;
+    for (size_t k = 0; k < 3 * stride; ++k) buf[k] = -1;
+    Score vmax[DP_LANES];
+    for (int l = 0; l < DP_LANES; ++l) vmax[l] = -1;
+    auto relu = [](Score x) { return x > 0 ? x : 0; };
+
+    for (int i = 1; i <= q_len; ++i) {
+        const int32_t* mm = &lut.mm[(size_t)(i - 1) * 324];
+        const int32_t* mq = &lut.mq[(size_t)(i - 1) * 324];
+        const int32_t* mt = &lut.mt[(size_t)(i - 1) * 324];
+        const int32_t* qi = &lut.qi[(size_t)(i - 1) * 324];
+        const int32_t* ti = &lut.ti[(size_t)(i - 1) * 324];
+        const int32_t te = lut.te[i - 1];
+        for (int l = 0; l < DP_LANES; ++l)
+            curM[l] = curIq[l] = curIt[l] = -1;
+        for (int j = 1; j <= t_len; ++j) {
+            for (int l = 0; l < DP_LANES; ++l) {
+                const int tp = tpv[(size_t)(j - 1) * DP_LANES + l];
+                const size_t c = (size_t)j * DP_LANES + l;
+                const size_t d = (size_t)(j - 1) * DP_LANES + l;
+                const Score a1 = relu(prevM[d]) - mm[tp];
+                const Score a2 = relu(prevIq[d]) - mq[tp];
+                const Score a3 = relu(prevIt[d]) - mt[tp];
+                Score m = a1 > a2 ? a1 : a2;
+                if (a3 > m) m = a3;
+                const Score ins = relu(curM[d]) - qi[tp];
+                const Score ext = relu(curIq[d])
+                    - qev[(size_t)(j - 1) * DP_LANES + l];
+                const Score ins2 = relu(prevM[c]) - ti[tp];
+                const Score ext2 = relu(prevIt[c]) - te;
+                curM[c] = m;
+                curIq[c] = ins > ext ? ins : ext;
+                curIt[c] = ins2 > ext2 ? ins2 : ext2;
+                if (m > vmax[l]) vmax[l] = m;
+            }
+        }
+        std::swap(prevM, curM);
+        std::swap(prevIq, curIq);
+        std::swap(prevIt, curIt);
+    }
+    for (int l = 0; l < DP_LANES; ++l) vmax_out[l] = vmax[l];
+}
+
+// Max DP score per lane for n_lanes same-length windows against the
+// (query, delta_g) baked into `lut` — no MeltState needed.
+void dp_batch_score(const QueryLUT& lut, const uint8_t* const* targets,
+                    int t_len, int n_lanes, Score* scores)
+{
+    static thread_local std::vector<int32_t> tpv, qev;
+    tpv.resize((size_t)t_len * DP_LANES);
+    qev.resize((size_t)t_len * DP_LANES);
+    for (int j = 1; j <= t_len; ++j) {
+        for (int l = 0; l < DP_LANES; ++l) {
+            const uint8_t* t = targets[l < n_lanes ? l : 0];
+            const int pt = (j == 1) ? GAP : t[j - 2];
+            const int tp = pt * NUM_ALPHA + t[j - 1];
+            tpv[(size_t)(j - 1) * DP_LANES + l] = tp;
+            qev[(size_t)(j - 1) * DP_LANES + l] = lut.qe[tp];
+        }
+    }
+    Score out[DP_LANES];
+#ifdef TNT_HAVE_AVX2_DISPATCH
+    if (dp_batch_avx2_available())
+        dp_batch_score_rows_avx2(lut, tpv.data(), qev.data(), lut.wq,
+                                 t_len, out);
+    else
+#endif
+        dp_batch_score_rows_scalar(lut, tpv.data(), qev.data(), lut.wq,
+                                   t_len, out);
+    for (int l = 0; l < n_lanes; ++l) scores[l] = out[l];
 }
 
 // ---------------------------------------------------------------------------
