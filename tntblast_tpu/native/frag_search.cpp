@@ -454,13 +454,16 @@ static const std::vector<std::pair<int64_t, int64_t>>& cached_seeds(
 // same Options fields through the same float32 conversions.
 static const std::vector<std::pair<int64_t, int64_t>>& seeds_for(
     FragCtx& ctx, const std::vector<uint8_t>* oligo, bool minus,
-    const Filt& filt, float conc)
+    const Filt& filt, float conc, bool* prescreened = nullptr)
 {
     auto& inj = ctx.injected[minus ? 1 : 0];
     auto it = inj.find(oligo);
     if (it != inj.end() && it->second.min_tm == filt.min_tm
-        && it->second.max_dg == filt.max_dg && it->second.conc == conc)
+        && it->second.max_dg == filt.max_dg && it->second.conc == conc) {
+        if (prescreened) *prescreened = true;
         return it->second.seeds;
+    }
+    if (prescreened) *prescreened = false;
     return cached_seeds(ctx, oligo, minus);
 }
 
@@ -502,6 +505,18 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
     OligoVec entries;
     OligoVec keep_rest;
     const bool direct = oligo_mask < 0;
+    // Device-prescreened slot under these exact conditions?  (Covers both
+    // the direct path, whose seeds_for returns the injected list, and the
+    // pre-matched-list path, whose entries derive from the same list.)
+    bool device_prescreened = false;
+    {
+        auto& inj = ctx.injected[minus ? 1 : 0];
+        auto iit = inj.find(oligo);
+        device_prescreened = (iit != inj.end()
+            && iit->second.min_tm == filt.min_tm
+            && iit->second.max_dg == filt.max_dg
+            && iit->second.conc == strand_conc);
+    }
 
     if (direct) {
         const auto& seeds = seeds_for(ctx, oligo, minus, filt, strand_conc);
@@ -659,7 +674,9 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
         const char* e = getenv("TNTBLAST_TPU_HOST_SCREEN");
         return !(e && e[0] == '0');
     }();
-    if (host_screen_on && !misses.empty()) {
+    // Skip when the seed list was already device-prescreened under the
+    // identical conditions: re-screening kept windows can drop nothing.
+    if (host_screen_on && !device_prescreened && !misses.empty()) {
         PhaseTimer pt_screen(&ctx.t_screen);
         struct Cond { float T; Score ms; uint8_t flag; };  // 1=tm, 2=dg
         Cond conds[2];
