@@ -51,8 +51,17 @@ def test_golden_config(name, tmp_path, monkeypatch, capfd):
     assert ret == 0, f"exit={ret}; stderr produced"
 
     got_out = out_file.read_text() if out_file.exists() else ""
-    want_out = (GOLD / f"{name}.out").read_text()
+    want_path = GOLD / f"{name}.out"
+    want_out = want_path.read_text() if want_path.exists() else ""
     assert got_out == want_out, f"output file mismatch for {name}"
+    # network output mode (-m 2) writes .sif/.atr companions
+    for ext in (".sif", ".atr"):
+        want_c = GOLD / f"{name}.out{ext}"
+        if want_c.exists():
+            got_c = pathlib.Path(str(out_file) + ext)
+            assert got_c.exists(), f"missing {ext} output for {name}"
+            assert got_c.read_text() == want_c.read_text(), \
+                f"{ext} mismatch for {name}"
 
     golden_out_path = f"/root/repo/tests/golden/e2e/{name}.out"
     got_stdout = normalize_stdout(stdout.getvalue(), str(out_file))
