@@ -152,3 +152,27 @@ def test_usage_text_parity():
             and "--mesh" not in l]
     want = (HERE / "golden" / "usage_noblast.txt").read_text()
     assert "".join(ours) == want
+
+
+def test_one_output_file_per_query(tmp_path, monkeypatch):
+    """-n T writes one output file per assay, named <out>.<assay name>
+    (reference tntblast_local.cpp:190-231); recorded from the reference
+    binary under golden/e2e/per_query/."""
+    from tntblast_tpu import cli
+
+    pq = GOLD / "per_query"
+    out_base = tmp_path / "probe.out"
+    monkeypatch.chdir(DATA)
+    monkeypatch.setenv("TNTBLAST_TPU_THREADS", "1")
+    ret = cli.local_main(
+        ["-i", "assay_probe.txt", "-d", "small_db.fna", "-A", "PROBE",
+         "-E", "40", "-n", "T", "-o", str(out_base)],
+        stdout=io.StringIO())
+    assert ret == 0
+    golds = sorted(p for p in pq.iterdir() if not p.name.endswith("stdout"))
+    assert golds, "no recorded per-query goldens"
+    for g in golds:
+        suffix = g.name[len("probe.out"):]
+        got = tmp_path / ("probe.out" + suffix)
+        assert got.exists(), f"missing per-query file {g.name}"
+        assert got.read_text() == g.read_text(), f"mismatch for {g.name}"
