@@ -76,14 +76,18 @@ def run():
     base_argv = ["-i", panel, "-d", fna, "-A", "PCR",
                  "-e", "40", "-E", "45", "-l", "2000", "-o", out_path]
 
-    # Warmup input: tiny genome slice to trigger the native build + XLA
-    # compiles outside the timed region (compiles cache by shape).
+    # Warmup input: the first full sequence (same fragment sizes, hence
+    # the SAME padded device tile shapes as the timed run) so the native
+    # build and every XLA compile happen outside the timed region.
     warm_fna = os.path.join(work, "warm.fna")
     if not os.path.exists(warm_fna):
         with open(fna) as src, open(warm_fna, "w") as dst:
-            for i, line in enumerate(src):
-                if i >= 800:        # ~56 kb
-                    break
+            n_hdr = 0
+            for line in src:
+                if line.startswith(">"):
+                    n_hdr += 1
+                    if n_hdr > 1:
+                        break
                 dst.write(line)
 
     configs = [("host", [])]

@@ -54,6 +54,7 @@ def _run_procs(name, num_procs, tmp_path):
 @pytest.mark.parametrize("name,num_procs", [
     ("pcr_frag", 2),      # fragmented targets: shard axis really splits
     ("taqman", 3),        # probe containment + secondary Tms
+    ("inverse_target", 2),  # -m 3: merged no-match target report
 ])
 def test_multiproc_matches_golden(name, num_procs, tmp_path):
     out_file = _run_procs(name, num_procs, tmp_path)

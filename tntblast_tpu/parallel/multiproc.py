@@ -181,18 +181,29 @@ def distributed_main(argv, process_id, num_processes, coordinator,
                     state.search_results[sig_id] = (
                         kept + state.search_results[sig_id])
 
-        fout = None
+        # Output stream binding, identical to the local driver
+        # (cli.local_main / reference tntblast_local.cpp:72-133).
+        fout = fout_sif = fout_atr = None
         if opt.output_filename:
-            fout = open(opt.output_filename, "w")
+            if opt.output_format & (C.OUTPUT_STANDARD | C.OUTPUT_FASTA):
+                fout = open(opt.output_filename, "w")
+            if opt.output_format & C.OUTPUT_NETWORK:
+                fout_sif = open(opt.output_filename + ".sif", "w")
+                fout_atr = open(opt.output_filename + ".atr", "w")
+                fout_atr.write("FunctionalCatagory\n")
+            if opt.output_format & (C.OUTPUT_INVERSE_TARGET
+                                    | C.OUTPUT_INVERSE_QUERY):
+                fout = open(opt.output_filename, "w")
         out.write_results(opt, state, db, stdout=stdout,
                           out_stream=fout if fout is not None else stdout,
-                          sif_stream=None, atr_stream=None,
+                          sif_stream=fout_sif, atr_stream=fout_atr,
                           open_per_query=None)
         if opt.verbose:
             stdout.write(
                 f"Search completed in {int(time.time() - profile)} sec\n")
-        if fout is not None:
-            fout.close()
+        for fh in (fout, fout_sif, fout_atr):
+            if fh is not None:
+                fh.close()
     except OptionsError as e:
         print(f"Caught the error: {e}", file=sys.stderr)
         return 1
