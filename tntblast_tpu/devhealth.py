@@ -20,7 +20,7 @@ _result = None
 _lock = threading.Lock()
 
 
-def _probe():
+def _probe(box):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -29,6 +29,13 @@ def _probe():
     x.block_until_ready()
     host = np.asarray(x)          # the d2h leg — the part that can wedge
     assert int(host[3]) == 7
+    # second, compile-free round trip: the steady-state latency that
+    # decides whether the device path can ever pay off
+    y = f(x)
+    y.block_until_ready()
+    t0 = time.time()
+    np.asarray(y)
+    box["rtt2"] = time.time() - t0
     return jax.default_backend()
 
 
@@ -56,7 +63,7 @@ def device_health(timeout=None):
 
         def run():
             try:
-                box["platform"] = _probe()
+                box["platform"] = _probe(box)
             except Exception as e:   # noqa: BLE001 — report, don't raise
                 box["error"] = str(e)
 
@@ -64,12 +71,25 @@ def device_health(timeout=None):
         t0 = time.time()
         t.start()
         t.join(timeout)
+        rtt = time.time() - t0
+        # A link can be alive but useless: one observed session had ~15 s
+        # device-to-host latency — every resolve would cost seconds, so
+        # the device path loses to the host by orders of magnitude.
+        # Healthy means completed AND the steady-state (compile-free)
+        # round trip is fast enough to ever pay off.
+        max_rtt = float(os.environ.get("TNTBLAST_TPU_HEALTH_MAX_RTT", "2.0"))
+        rtt2 = box.get("rtt2", rtt)
         if t.is_alive():
             _result = (False, platform,
                        f"device round trip did not complete in {timeout:.0f}s"
                        " (wedged d2h link?)")
         elif "error" in box:
             _result = (False, platform, f"probe failed: {box['error']}")
+        elif rtt2 > max_rtt:
+            _result = (False, platform,
+                       f"steady-state round trip {rtt2:.1f}s exceeds "
+                       f"usefulness bound {max_rtt:.1f}s (degraded d2h link)")
         else:
-            _result = (True, platform, f"round trip {time.time() - t0:.3f}s")
+            _result = (True, platform,
+                       f"round trip {rtt:.2f}s (steady {rtt2 * 1e3:.0f} ms)")
         return _result
