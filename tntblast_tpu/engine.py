@@ -172,21 +172,34 @@ class ProgressDisplay:
 
 
 class _BatchHandle:
-    """One sharded device launch covering a batch of fragments (mesh
-    mode); resolved lazily by whichever worker thread needs it first."""
+    """One batched device launch covering several fragments (mesh shard
+    or single-chip vmap).  The device-to-host resolve runs on a dedicated
+    thread as soon as the batch is submitted, so it overlaps host search
+    of earlier fragments and never serializes the worker pool behind one
+    device sync."""
 
     def __init__(self, panel_mgr, frag_list):
         import threading
-        self._mgr = panel_mgr
-        self._pending = panel_mgr.submit_batch(frag_list)
+        pending = panel_mgr.submit_batch(frag_list)
         self._results = None
-        self._lock = threading.Lock()
+        self._error = None
+        self._done = threading.Event()
+
+        def resolve():
+            try:
+                self._results = panel_mgr.resolve_batch(pending)
+            except BaseException as e:   # surface on the consumer side
+                self._error = e
+            finally:
+                self._done.set()
+
+        threading.Thread(target=resolve, daemon=True,
+                         name="tnt-batch-resolve").start()
 
     def get(self, idx):
-        with self._lock:
-            if self._results is None:
-                self._results = self._mgr.resolve_batch(self._pending)
-                self._pending = None
+        self._done.wait()
+        if self._error is not None:
+            raise self._error
         return self._results[idx]
 
 
