@@ -154,3 +154,52 @@ def test_device_screen_conservative(engine):
         assert (~kept & ~passes).sum() >= 0.5 * n_fail
     # the planted sites are among the kept
     assert passes.sum() >= 3
+
+
+def test_device_screen_degenerate_target_conservative(engine):
+    """A window containing a degenerate target base (e.g. N) must never be
+    screened out: the reference resolves degenerates *optimistically* per
+    query base (nuc_cruc.cpp:14-201), so an N inside a binding site can
+    complete a perfect duplex, while any fixed-letter approximation of N
+    underestimates the duplex stability.  Such windows must be routed to
+    the host (needs_host), not screened with approximated codes."""
+    rng = np.random.default_rng(11)
+    fwd = "TTGACCTAGATATTCAGCAAC"
+    frag_s = "".join(rng.choice(list("ACGT"), 20000))
+    # plant the site with one N in the middle of the duplex: the exact
+    # engine resolves N -> perfect complement, keeping Tm at the
+    # perfect-match value
+    site = list(fwd)
+    site[10] = "N"
+    frag_s = frag_s[:5000] + "".join(site) + frag_s[5000 + len(site):]
+    frag = C.ASCII_TO_DB[np.frombuffer(frag_s.encode(), np.uint8)]
+
+    w = 7
+    conc = 9e-7
+    from tntblast_tpu.screen import TpuScreen
+    scr = TpuScreen(engine, dangle=False)
+
+    # exact Tm of the planted (N-containing) site
+    codes = C.ASCII_TO_MELT[np.frombuffer(fwd.encode(), np.uint8)]
+    start, stop = 5000 - 4, 5000 + len(fwd) + 4
+    win = C.DB_TO_MELT_COMPLEMENT[frag[start:stop]][::-1]
+    res = engine.eval_batch(native.HETERO, [codes], [win[win != 255]],
+                            np.array([conc], dtype=np.float32))
+    exact_tm = float(res["tm"][0])
+    assert exact_tm > 50.0  # optimistic resolution keeps it strong
+
+    # screen with min_tm just below the exact Tm: the site is a true hit
+    min_tm = exact_tm - 2.0
+    conds = scr.conditions({"min_tm": min_tm, "max_dg": 0.0}, conc)
+    dg = np.stack([np.asarray(scr._dg_table(T)) for _, T, _ in conds])
+    thr = np.array([[ms] for _, _, ms in conds], dtype=np.int32)
+    cfg = PanelConfig(word_len=w, num_os=1, max_words=16, wq_max=21,
+                      tile_len=32768, cap=1024, num_cond=len(conds))
+    panel = DevicePanel(_mk_panel([(fwd, True)], w), cfg, dg, thr)
+    out = panel.run_fragment(frag)
+    assert not out["overflow"]
+
+    sel = np.nonzero(out["p"] == 5000)[0]
+    assert sel.size == 1
+    assert out["needs_host"][sel[0]], "degenerate window must go to host"
+    assert out["keep"][sel[0]], "true hit wrongly screened out"

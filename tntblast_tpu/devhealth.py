@@ -39,15 +39,23 @@ def _probe(box):
     return jax.default_backend()
 
 
-def device_health(timeout=None):
+def device_health(timeout=None, reprobe=False):
     """(ok, platform, reason).  ok=True means a jit launch AND a
     device-to-host read completed within `timeout` seconds on the default
-    backend.  The CPU backend is always healthy (no link involved)."""
+    backend.  The CPU backend is always healthy (no link involved).
+
+    The default timeout budgets for the first-call XLA compile, which
+    takes ~20-40 s through the tunnel; the usefulness decision rides on
+    the steady-state (compile-free) round trip, bounded separately by
+    TNTBLAST_TPU_HEALTH_MAX_RTT.  `reprobe=True` discards the cached
+    verdict and probes again — the tunnel wedges *intermittently*
+    (minutes at a time, BASELINE.md), so a failed probe earlier in the
+    process does not mean the link is still down."""
     global _result
     if timeout is None:
-        timeout = float(os.environ.get("TNTBLAST_TPU_HEALTH_TIMEOUT", "20"))
+        timeout = float(os.environ.get("TNTBLAST_TPU_HEALTH_TIMEOUT", "60"))
     with _lock:
-        if _result is not None:
+        if _result is not None and not (reprobe and not _result[0]):
             return _result
         try:
             import jax

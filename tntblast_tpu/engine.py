@@ -176,14 +176,23 @@ class _BatchHandle:
     or single-chip vmap).  The device-to-host resolve runs on a dedicated
     thread as soon as the batch is submitted, so it overlaps host search
     of earlier fragments and never serializes the worker pool behind one
-    device sync."""
+    device sync.
+
+    A resolve that exceeds the panel's timeout (a mid-run tunnel wedge,
+    BASELINE.md) marks the panel dead and yields None: the fragment falls
+    back to host seeding — identical output, no hang."""
 
     def __init__(self, panel_mgr, frag_list):
         import threading
-        pending = panel_mgr.submit_batch(frag_list)
+        self._mgr = panel_mgr
         self._results = None
         self._error = None
         self._done = threading.Event()
+        if panel_mgr.dead:
+            self._results = [None] * len(frag_list)
+            self._done.set()
+            return
+        pending = panel_mgr.submit_batch(frag_list)
 
         def resolve():
             try:
@@ -197,7 +206,14 @@ class _BatchHandle:
                          name="tnt-batch-resolve").start()
 
     def get(self, idx):
-        self._done.wait()
+        if not self._done.wait(self._mgr.resolve_timeout):
+            if not self._mgr.dead:
+                self._mgr.dead = True
+                sys.stderr.write(
+                    "Warning: device resolve timed out "
+                    f"({self._mgr.resolve_timeout:.0f}s, wedged link?); "
+                    "falling back to host search\n")
+            return None
         if self._error is not None:
             raise self._error
         return self._results[idx]
@@ -303,7 +319,7 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
             handle, idx = pending_dev
             panel_result = handle.get(idx)
         else:
-            panel_result = panel_mgr.resolve(pending_dev)
+            panel_result = panel_mgr.resolve_safe(pending_dev)
         ctx = NativeFragContext(engine, seq_codes, opt.hash_word_size,
                                 defline, panel_result=panel_result)
         per_sig = []
@@ -365,7 +381,7 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
         for (tgt, start, stop, max_stop, qidx) in items:
             defline, seq_codes = db.read(tgt, start,
                                          stop + max_product_length)
-            wants_dev = (panel_mgr is not None
+            wants_dev = (panel_mgr is not None and not panel_mgr.dead
                          and len(seq_codes) >= opt.hash_word_size)
             if batch_n > 1 and wants_dev:
                 # aggregate a device batch so one launch covers
@@ -553,8 +569,9 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
                 state.profile["screened"] += st_["screened"]
                 state.add_phases(ctx.frag.profile())
                 ctx.close()
-            panel_result = (panel_mgr.resolve(panel_mgr.submit(seq_codes))
-                            if panel_mgr is not None else None)
+            panel_result = (
+                panel_mgr.resolve_safe(panel_mgr.submit(seq_codes))
+                if panel_mgr is not None and not panel_mgr.dead else None)
             ctx = NativeFragContext(engine, seq_codes,
                                     opt.hash_word_size, defline,
                                     panel_result=panel_result)

@@ -168,9 +168,12 @@ def fragment_step_core(frag_codes, frag_len,
     melt = jnp.where(minus[:, None], comp_lut[jnp.clip(wcodes, 0, 17)],
                      plus_lut[jnp.clip(wcodes, 0, 17)])
     in_win = j < t_len[:, None]
-    # bases the fast path cannot represent (DB_GAP / DB_UNKNOWN drop and
-    # shift the window in the reference) -> host fallback
-    needs_host = jnp.any(in_win & (wcodes >= C.DB_GAP), axis=1)
+    # bases the device DP cannot represent exactly -> host fallback:
+    # DB_GAP / DB_UNKNOWN drop and shift the window in the reference, and
+    # degenerate codes (DB_M..DB_N) resolve *optimistically* per query
+    # base (reference nuc_cruc.cpp:14-201) — approximating them with any
+    # fixed letter could under-score a true hit and unsoundly screen it.
+    needs_host = jnp.any(in_win & (wcodes > C.DB_I), axis=1)
     tcodes = jnp.where(in_win, melt, 0).astype(jnp.int32)
 
     # --- screening DP per condition (chunked to bound memory) ------------

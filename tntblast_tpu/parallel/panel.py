@@ -178,6 +178,7 @@ class FragmentPanelManager:
 
     def __init__(self, opt, engine, mesh=None):
         import os as _os
+        import threading as _threading
         self.screen = TpuScreen(
             engine, dangle=opt.allow_dangle_5 or opt.allow_dangle_3)
         self.word_len = opt.hash_word_size
@@ -192,6 +193,15 @@ class FragmentPanelManager:
             PanelGroup(items[i:i + MAX_SLOTS], self.screen, self.word_len)
             for i in range(0, len(items), MAX_SLOTS)]
         self.stats = {"fragments": 0, "seeds": 0, "kept": 0, "fallback": 0}
+        # stats are bumped from concurrent batch-resolve threads
+        self.stats_lock = _threading.Lock()
+        # The tunnel can wedge mid-run (BASELINE.md): a resolve that does
+        # not complete within this budget marks the panel dead, the
+        # affected fragments fall back to host seeding (identical output)
+        # and no further device work is submitted.
+        self.resolve_timeout = float(
+            _os.environ.get("TNTBLAST_TPU_RESOLVE_TIMEOUT", "120"))
+        self.dead = False
 
     def _tile_len(self, n):
         t = self.MIN_TILE
@@ -247,14 +257,16 @@ class FragmentPanelManager:
         + per-slot total counts): screened-out candidates never cross the
         device-to-host link."""
         if res["overflow"]:
-            self.stats["fallback"] += 1
+            with self.stats_lock:
+                self.stats["fallback"] += 1
             return
         os_k = res["os_k"]
         p = res["p_k"].astype(np.int64)
         kmin = res["kmin_k"].astype(np.int64)
         counts = res["counts"]
-        self.stats["seeds"] += int(counts.sum())
-        self.stats["kept"] += len(p)
+        with self.stats_lock:
+            self.stats["seeds"] += int(counts.sum())
+            self.stats["kept"] += len(p)
         for i, key in enumerate(g.keys):
             sel = (os_k == i)
             # device order is ascending p; host order is ascending
@@ -271,6 +283,39 @@ class FragmentPanelManager:
                    else dp.resolve_fragment_fast(dev_out))
             self._merge_group(out, g, res)
         return out
+
+    def resolve_safe(self, pending):
+        """resolve() on a worker thread under the resolve timeout: a
+        wedged device-to-host link yields None (host-seeding fallback)
+        instead of blocking the search forever."""
+        import threading
+
+        if pending is None or self.dead:
+            return None
+        box = {}
+
+        def run():
+            try:
+                box["out"] = self.resolve(pending)
+            except Exception as e:   # noqa: BLE001 — fall back, don't hang
+                box["err"] = e
+
+        t = threading.Thread(target=run, daemon=True,
+                             name="tnt-resolve-safe")
+        t.start()
+        t.join(self.resolve_timeout)
+        if t.is_alive():
+            if not self.dead:
+                self.dead = True
+                import sys
+                sys.stderr.write(
+                    "Warning: device resolve timed out "
+                    f"({self.resolve_timeout:.0f}s, wedged link?); "
+                    "falling back to host search\n")
+            return None
+        if "err" in box:
+            raise box["err"]
+        return box["out"]
 
     def run_fragment(self, frag_codes):
         return self.resolve(self.submit(frag_codes))
