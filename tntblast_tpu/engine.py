@@ -306,6 +306,29 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
     progress = ProgressDisplay(stdout, opt.verbose)
     progress.start()
 
+    # Per-thread fragment-context reuse (reference same_target reuse,
+    # tntblast_local.cpp:498-534): under forced query segmentation the
+    # per-query work items of one fragment arrive consecutively, so each
+    # thread keeps its last context instead of re-reading and re-indexing
+    # the fragment once per query.  Caches spanning queries on one thread
+    # match the reference's per-thread melt caches (deterministic values,
+    # so the hit list is unchanged).
+    import threading as _threading
+    tlocal = _threading.local()
+
+    def _thread_ctx(key, seq_codes, defline, panel_result):
+        prev = getattr(tlocal, "entry", None)
+        if prev is not None and prev[0] == key:
+            return prev[1]
+        if prev is not None:
+            prev[1].close()
+        ctx = NativeFragContext(engine, seq_codes, opt.hash_word_size,
+                                defline, panel_result=panel_result)
+        ctx.stats_seen = {"evaluated": 0, "screened": 0}
+        ctx.phases_seen = {}
+        tlocal.entry = (key, ctx)
+        return ctx
+
     def work(local_target, local_target_start, local_target_stop,
              local_target_max_stop, query_idx, defline, seq_codes,
              pending_dev):
@@ -320,8 +343,8 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
             panel_result = handle.get(idx)
         else:
             panel_result = panel_mgr.resolve_safe(pending_dev)
-        ctx = NativeFragContext(engine, seq_codes, opt.hash_word_size,
-                                defline, panel_result=panel_result)
+        ctx = _thread_ctx((local_target, local_target_start), seq_codes,
+                          defline, panel_result)
         per_sig = []
         for sig in _sig_subset(opt, query_idx):
             local_results = search_assay(ctx, sig, opt)
@@ -336,12 +359,18 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
                 h.offset_ranges(local_target_start)
                 kept.append(h)
             per_sig.append((sig.id, kept))
+        # stats/phases are cumulative per context; report deltas so a
+        # reused context never double-counts
         stats = ctx.frag.stats()
         phases = ctx.frag.profile()
-        ctx.close()
-        return per_sig, stats, phases
+        d_stats = {k: stats[k] - ctx.stats_seen[k] for k in stats}
+        d_phases = {k: phases[k] - ctx.phases_seen.get(k, 0)
+                    for k in phases}
+        ctx.stats_seen = stats
+        ctx.phases_seen = phases
+        return per_sig, d_stats, d_phases
 
-    def apply_result(result, local_target):
+    def apply_result(result, local_target, query_idx):
         per_sig = None
         if result is not None:
             per_sig, stats, phases = result
@@ -357,8 +386,9 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
                 else:
                     state.search_results[sig_id] = (
                         kept + state.search_results[sig_id])
-        progress.update((local_target * num_sig + num_sig) * inv_total,
-                        False)
+        done_q = num_sig if query_idx is None else query_idx + 1
+        progress.update((local_target * num_sig + done_q) * inv_total,
+                        seg_on)
 
     batch_n = getattr(panel_mgr, "batch", 1) if panel_mgr is not None else 1
 
@@ -375,7 +405,7 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
                 if w:
                     dev = (handle, j)
                     j += 1
-                pending.append((pool.submit(work, *a, dev), a[0]))
+                pending.append((pool.submit(work, *a, dev), a[0], a[4]))
             buf.clear()
 
         for (tgt, start, stop, max_stop, qidx) in items:
@@ -395,15 +425,16 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
                                if wants_dev else None)
                 pending.append(
                     (pool.submit(work, tgt, start, stop, max_stop, qidx,
-                                 defline, seq_codes, pending_dev), tgt))
+                                 defline, seq_codes, pending_dev), tgt,
+                     qidx))
             while len(pending) > 2 * max(n_threads, batch_n):
-                fut, t = pending.popleft()
-                apply_result(fut.result(), t)
+                fut, t, q = pending.popleft()
+                apply_result(fut.result(), t, q)
         if buf:
             flush_buf()
         while pending:
-            fut, t = pending.popleft()
-            apply_result(fut.result(), t)
+            fut, t, q = pending.popleft()
+            apply_result(fut.result(), t, q)
 
     if panel_mgr is not None:
         state.profile["device_calls"] = panel_mgr.stats["fragments"]

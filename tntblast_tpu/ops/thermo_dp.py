@@ -332,3 +332,134 @@ def dp_max_score_slots(os_idx, t_codes, t_len, slot_tables, slot_qlen,
     init = (neg1, neg1, neg1, jnp.full((B,), -1, jnp.int32))
     (_, _, _, best), _ = jax.lax.scan(row_step, init, xs)
     return best
+
+
+# ---------------------------------------------------------------------------
+# Canonical-pair DP: the exact-integer TPU formulation (round 4).
+#
+# The slot-table einsum above pays for a per-window energy materialization
+# through MXU matmuls at poor utilization (measured ~5 ms / 4096-window
+# chunk on a v5e) and needs DP_SLOT_MARGIN to absorb f32 accumulation.
+# But the per-(slot, row) tables only depend on the slot's (prev_q, cur_q)
+# base pair at that row — and on the device path both query and target
+# codes are confined to {A,C,G,T,I} (+GAP at the boundary).  So the whole
+# energy model collapses to ONE canonical table
+#
+#     T_canon[(pt6*5+tb), (pq6*5+qb), e]   (30, 30, 7) int32
+#
+# built from the 49x49 delta_g at a screening temperature, gathered per DP
+# row with integer indices: zero matmuls, bit-exact int32 scores (the same
+# values align_dimer computes), no margin.  Per-slot state shrinks to a
+# (num_os, wq) int8 "qpair row" array.
+
+QP_GAP = 5   # 6th letter of the prev-base domain (GAP at row/col 0)
+
+
+def build_qpair_rows(slot_codes, slot_qlen, *, wq):
+    """(S, wq) int32: qpair index pq6*5+qb per DP row (reversed query).
+    Rows past slot_qlen hold 0 (masked by row_valid in the DP)."""
+    S = len(slot_codes)
+    out = np.zeros((S, wq), dtype=np.int32)
+    for s in range(S):
+        n = int(slot_qlen[s])
+        rev = np.asarray(slot_codes[s][:n][::-1], dtype=np.int64)
+        for r in range(n):
+            qb = int(rev[r])
+            pq6 = int(rev[r - 1]) if r > 0 else QP_GAP
+            out[s, r] = pq6 * NUM_T5 + qb
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _t_canon_cached(dg_key):
+    dg = np.frombuffer(dg_key, dtype=np.int32)
+    return _build_t_canon(dg)
+
+
+def _build_t_canon(dg):
+    """(30, 30, 7) int32 canonical energy table from a flat (2401,) dg."""
+    dg = np.asarray(dg).reshape(-1)
+    base6 = np.array([0, 1, 2, 3, 4, GAP])      # domain letter -> melt code
+
+    def bp(a, b):
+        return a * NUM_BASE + b
+
+    T = np.zeros((NUM_PREV * NUM_T5, NUM_PREV * NUM_T5, 7), dtype=np.int32)
+    for pt6 in range(NUM_PREV):
+        pt = base6[pt6]
+        for tb in range(NUM_T5):
+            i = pt6 * NUM_T5 + tb
+            for pq6 in range(NUM_PREV):
+                pq = base6[pq6]
+                for qb in range(NUM_T5):
+                    j = pq6 * NUM_T5 + qb
+                    cur = bp(tb, qb)
+                    T[i, j, 0] = dg[bp(pt, pq) * NUM_BP + cur]
+                    T[i, j, 1] = dg[bp(pt, GAP) * NUM_BP + cur]
+                    T[i, j, 2] = dg[bp(GAP, pq) * NUM_BP + cur]
+                    T[i, j, 3] = dg[bp(pt, qb) * NUM_BP + bp(tb, GAP)]
+                    T[i, j, 4] = dg[bp(pt, GAP) * NUM_BP + bp(tb, GAP)]
+                    T[i, j, 5] = dg[bp(tb, pq) * NUM_BP + bp(GAP, qb)]
+                    T[i, j, 6] = dg[bp(GAP, pq) * NUM_BP + bp(GAP, qb)]
+    return T
+
+
+def build_t_canon(dg):
+    return _t_canon_cached(np.ascontiguousarray(
+        np.asarray(dg, dtype=np.int32)).tobytes())
+
+
+def dp_scores_canon(qp_rows, q_len, t_codes, t_len, t_canon, *, wq, wt):
+    """Exact int32 max M-state DP score per window (== dp_max_score ==
+    the reference align_dimer max_score) via the canonical-pair table.
+
+    qp_rows: (B, wq) int32 qpair per row (build_qpair_rows[os_idx])
+    q_len:   (B,) int32
+    t_codes: (B, wt) int32 melt codes in {0..4} (others must go host-side)
+    t_len:   (B,) int32
+    t_canon: (30, 30, 7) int32
+    """
+    B = t_codes.shape[0]
+    tb5 = jnp.clip(t_codes, 0, NUM_T5 - 1)
+    pt6 = jnp.concatenate(
+        [jnp.full((B, 1), QP_GAP, jnp.int32), tb5[:, :-1]], axis=1)
+    ptb = pt6 * NUM_T5 + tb5                        # (B, wt) in [0, 30)
+
+    Tflat = t_canon.reshape(NUM_PREV * NUM_T5 * NUM_PREV * NUM_T5, 7)
+    col_valid = jnp.arange(wt)[None, :] < t_len[:, None]
+    row_valid = jnp.arange(wq)[None, :] < q_len[:, None]
+    neg1 = jnp.full((B, wt + 1), -1, jnp.int32)
+
+    def row_step(carry, xs):
+        prevM, prevIq, prevIt, best = carry
+        qp_r, rvalid = xs                            # (B,), (B,)
+        e = jnp.take(Tflat, ptb * (NUM_PREV * NUM_T5) + qp_r[:, None],
+                     axis=0)                         # (B, wt, 7)
+        dgmm, dgmq, dgmt = e[..., 0], e[..., 1], e[..., 2]
+        dgqi, dgqe = e[..., 3], e[..., 4]
+        dgti, dgte = e[..., 5], e[..., 6]
+
+        m = jnp.maximum(
+            jnp.maximum(_relu(prevM[:, :-1]) - dgmm,
+                        _relu(prevIq[:, :-1]) - dgmq),
+            _relu(prevIt[:, :-1]) - dgmt)
+        it = jnp.maximum(_relu(prevM[:, 1:]) - dgti,
+                         _relu(prevIt[:, 1:]) - dgte)
+        m_shift = jnp.concatenate(
+            [jnp.full((B, 1), -1, jnp.int32), m[:, :-1]], axis=1)
+        a = jnp.maximum(_relu(m_shift) - dgqi, -dgqe)
+        s = jnp.cumsum(dgqe, axis=1)
+        iq = jax.lax.cummax(a + s, axis=1) - s
+
+        best = jnp.maximum(
+            best,
+            jnp.max(jnp.where(col_valid & rvalid[:, None], m, -1), axis=1))
+        newM = jnp.concatenate([neg1[:, :1], m], axis=1)
+        newIq = jnp.concatenate([neg1[:, :1], iq], axis=1)
+        newIt = jnp.concatenate([neg1[:, :1], it], axis=1)
+        return (newM, newIq, newIt, best), None
+
+    xs = (jnp.moveaxis(qp_rows, 1, 0), jnp.moveaxis(row_valid, 1, 0))
+    init = (neg1, neg1, neg1, jnp.full((B,), -1, jnp.int32))
+    (_, _, _, best), _ = jax.lax.scan(row_step, init, xs)
+    return best

@@ -1,33 +1,40 @@
 """Full-fragment device search step — the TPU-native inner loop.
 
-One device call per target fragment performs, for ALL oligos of the assay
-panel at once:
+One device program per fragment batch performs, for ALL oligos of the
+assay panel at once:
 
-  1. k-mer word computation over the fragment (2-bit rolling words,
+  1. k-mer word computation over each fragment (2-bit rolling words,
      non-ATGC bases break words — reference seq_hash.h:441-445 semantics),
   2. seed-diagonal detection for every (oligo, strand): diagonal p carries
      a seed iff some compacted oligo word k matches the target word at
      p + k; the representative hit is the smallest such k (the reference's
      first-occurrence-per-diagonal dedup, bind_oligo.cpp:33-47),
-  3. fixed-capacity compaction of seed diagonals,
-  4. candidate window gather (start = max(p-4, 0), width oligo_len+8,
-     minus-strand windows complemented and reversed —
-     bind_oligo.cpp:136-254),
-  5. the batched thermodynamic DP (ops/thermo_dp.py) at each screening
-     temperature, producing a conservative keep/discard verdict per
-     window (see screen.py for the proof).
+  3. two-stage fixed-capacity compaction of seed diagonals (any-slot
+     positions first, then (position, slot) pairs — the dense bitmap is
+     only scanned once at fragment length, not once per slot),
+  4. POOLING of all fragments' candidates into one stream, stable-sorted
+     by slot so the screening DP runs one fixed-shape call per slot with
+     the slot's oligo length, strand and per-row energy tables folded in
+     as compile-time constants — the energy materialization is a single
+     constant-operand one-hot MXU matmul per slot (bit-exact integers, no
+     gathers; measured ~170x faster than the per-window gather form),
+  5. candidate window gather (start = p-4, width oligo_len+8, minus-strand
+     windows complemented and reversed — bind_oligo.cpp:136-254; windows
+     clipped by a fragment edge or containing any non-{A,C,G,T,I} base are
+     routed to the host),
+  6. the exact-integer thermodynamic DP (ops/thermo_dp.dp_scores_canon)
+     at each screening temperature, producing a conservative keep/discard
+     verdict per window (see screen.py for the proof).
 
 The host then runs the exact native engine only on kept windows; all
 list-building, culling and pairing semantics stay host-side and
-bit-identical.  Compared to per-bind-call screening this amortizes device
-launch/compile overhead over the whole fragment x panel — the difference
-between a dead-slow and a fast TPU path when the device sits behind an
-RPC tunnel.
+bit-identical.  The resolve payload is a single packed int32 buffer
+(header + kept-seed rows): one device-to-host transfer per batch.
 
-Multi-chip: the fragment/tile axis is the data-parallel axis (the
-reference's "database segmentation", tntblast_local.cpp:318-324); oligos
-and tables are replicated.  parallel/mesh.py wraps this step in shard_map
-over a jax Mesh.
+Multi-chip: the fragment axis is the data-parallel axis (the reference's
+"database segmentation", tntblast_local.cpp:318-324); oligos and tables
+are replicated.  parallel/mesh.py wraps this step in shard_map over a jax
+Mesh.
 """
 
 import functools
@@ -42,8 +49,7 @@ import jax.numpy as jnp
 
 from tntblast_tpu import constants as C
 from tntblast_tpu.ops.thermo_dp import (
-    DP_SLOT_MARGIN, NUM_PREV, NUM_T5, build_slot_row_tables,
-    dp_max_score_slots)
+    NUM_T5, _relu, build_qpair_rows, build_t_canon)
 
 INT_MIN = -(1 << 31) + 1
 
@@ -51,7 +57,7 @@ INT_MIN = -(1 << 31) + 1
 class PanelConfig:
     """Static (compile-time) shape configuration for a run."""
 
-    # windows per DP launch: bounds the (chunk, wq, wt, 7) energy tensors
+    # windows per DP launch: bounds the per-chunk window tensors
     DP_CHUNK = 4096
 
     def __init__(self, word_len, num_os, max_words, wq_max, tile_len,
@@ -65,41 +71,35 @@ class PanelConfig:
         cap = int(cap)
         if cap > self.DP_CHUNK:            # chunked DP needs even division
             cap = -(-cap // self.DP_CHUNK) * self.DP_CHUNK
-        self.cap = cap                     # candidate capacity per call
-        # capacity of the device-compacted KEPT-seed list — the only
-        # per-candidate payload the fast resolve path reads back (the
-        # full arrays stay on device).  Screens typically keep <25% of
+        self.cap = cap                     # candidate capacity per fragment
+        # per-fragment capacity of the device-compacted KEPT-seed list —
+        # the only per-candidate payload the resolve reads back (scaled by
+        # the batch size and pooled, so a fragment can exceed its share as
+        # long as the batch total fits).  Screens typically keep <50% of
         # candidates; callers with screening disabled pass kcap=cap.
         self.kcap = int(kcap) if kcap is not None else max(cap // 4, 512)
         self.kcap = min(self.kcap, cap)
         self.num_cond = int(num_cond)
+
+    def batch_kcap(self, n_frags):
+        if self.kcap:
+            return min(self.kcap * n_frags, n_frags * self.cap)
+        return n_frags * self.cap
 
     def key(self):
         return (self.word_len, self.num_os, self.max_words, self.wq_max,
                 self.tile_len, self.cap, self.num_cond, self.kcap)
 
 
-def fragment_step_core(frag_codes, frag_len,
-                       oligo_words, oligo_num_words, slot_tables, oligo_len,
-                       oligo_minus, thresholds,
-                       *, word_len, num_os, max_words, wq_max, wt, tile_len,
-                       cap, num_cond, kcap=None):
-    """Device kernel: seeds + windows + screening DP for one fragment.
+def _seed_fragment(frag_codes, frag_len, oligo_words, *, word_len,
+                   num_os, max_words, tile_len, cap):
+    """Seeding + two-stage compaction for ONE fragment.
 
-    frag_codes:      (tile_len,) uint8 db codes, padded with DB_UNKNOWN
-    frag_len:        () int32 true fragment length
-    oligo_words:     (num_os, max_words) int32 compacted word values (-1 pad)
-    oligo_num_words: (num_os,) int32
-    slot_tables:     (num_cond, num_os, wq_max, 7, 30) float32 per-row DP
-                     energy tables (thermo_dp.build_slot_row_tables)
-    oligo_len:       (num_os,) int32
-    oligo_minus:     (num_os,) bool — window extraction orientation
-    thresholds:      (num_cond, num_os) int32 min DP score (INT_MIN = off)
-
-    Returns (os_idx, p, kmin, keep, needs_host, valid, counts):
-      os_idx/p/kmin/keep/needs_host/valid: (cap,) candidate arrays in
-      (oligo-strand-major, p-ascending) order; counts: (num_os,) true
-      seed-diagonal counts (host falls back when counts > per-call space).
+    Returns (slot, p, n_cand, counts, overflow, word, word_valid):
+      slot/p: (cap,) int32 compacted (diagonal-ascending, slot-minor)
+      n_cand: () int32 true candidate count
+      counts: (num_os,) int32 per-slot seed-diagonal counts
+      word/word_valid: (nw_pos,) target word arrays (kmin recompute)
     """
     w = word_len
     L = tile_len
@@ -115,145 +115,287 @@ def fragment_step_core(frag_codes, frag_len,
     vc = jnp.cumsum(jnp.concatenate(
         [jnp.zeros(1, jnp.int32), valid_base.astype(jnp.int32)]))
     word_valid = (vc[w:] - vc[:-w]) == w
-    # word at t covers bases [t, t+w-1]; valid target positions
-    t_in_range = jnp.arange(nw_pos) < (frag_len - w + 1)
-    word_valid = word_valid & t_in_range
+    word_valid = word_valid & (jnp.arange(nw_pos) < (frag_len - w + 1))
 
     # --- seed diagonals ---------------------------------------------------
     # diagonal index space: p in [-(max_words-1), L) -> idx = p + max_words
     PL = L + max_words
-    seeds = jnp.zeros((num_os, PL), dtype=bool)
-    kmin = jnp.full((num_os, PL), max_words, dtype=jnp.int32)
+    seeds = jnp.zeros((PL, num_os), dtype=bool)
     for k in range(max_words):
         ow = oligo_words[:, k]                       # (num_os,)
         active = (ow >= 0)
-        m = word_valid[None, :] & (word[None, :] == ow[:, None]) \
-            & active[:, None]                        # (num_os, nw_pos)
-        # place at p_idx = t + max_words - k
+        m = word_valid[:, None] & (word[:, None] == ow[None, :]) \
+            & active[None, :]                        # (nw_pos, num_os)
         off = max_words - k
-        mk = jnp.zeros((num_os, PL), dtype=bool)
-        mk = mk.at[:, off:off + nw_pos].set(m)
-        newly = mk & ~seeds
-        kmin = jnp.where(newly, k, kmin)
-        seeds = seeds | mk
+        seeds = seeds.at[off:off + nw_pos].set(seeds[off:off + nw_pos] | m)
 
-    counts = seeds.sum(axis=1).astype(jnp.int32)
+    counts = seeds.sum(axis=0).astype(jnp.int32)
 
-    # --- compaction -------------------------------------------------------
-    flat = seeds.reshape(-1)
-    (cand_idx,) = jnp.nonzero(flat, size=cap, fill_value=num_os * PL)
-    valid = cand_idx < num_os * PL
-    os_idx = jnp.where(valid, cand_idx // PL, 0)
-    p = jnp.where(valid, cand_idx % PL - max_words, 0)
-    cand_kmin = jnp.where(valid, kmin.reshape(-1)[
-        jnp.clip(cand_idx, 0, num_os * PL - 1)], 0)
+    # --- two-stage compaction --------------------------------------------
+    any_pos = seeds.any(axis=1)                      # (PL,)
+    n_pos = any_pos.sum()
+    (pos_idx,) = jnp.nonzero(any_pos, size=cap, fill_value=PL)
+    pos_ok = pos_idx < PL
+    sub = seeds[jnp.clip(pos_idx, 0, PL - 1)] & pos_ok[:, None]
+    (cidx,) = jnp.nonzero(sub.reshape(-1), size=cap,
+                          fill_value=cap * num_os)
+    cvalid = cidx < cap * num_os
+    pos_rank = jnp.where(cvalid, cidx // num_os, 0)
+    slot = jnp.where(cvalid, cidx % num_os, 0).astype(jnp.int32)
+    p = (pos_idx[jnp.clip(pos_rank, 0, cap - 1)] - max_words).astype(
+        jnp.int32)
+    p = jnp.where(cvalid, p, 0)
+    n_cand = sub.sum().astype(jnp.int32)
+    overflow = (n_pos > cap) | (counts.sum() > cap)
+    return slot, p, n_cand, counts, overflow, word, word_valid
 
-    # --- window gather ----------------------------------------------------
-    ol = oligo_len[os_idx]                           # (cap,)
-    start = jnp.maximum(p - C.NUM_FLANK_BASE, 0)
-    target_length = ol + 2 * C.NUM_FLANK_BASE
-    stop = jnp.minimum(start + target_length, frag_len)  # exclusive
-    t_len = jnp.maximum(stop - start, 0)
 
-    minus = oligo_minus[os_idx]
-    j = jnp.arange(wt)[None, :]                      # (1, wt)
-    idx_plus = start[:, None] + j
-    idx_minus = stop[:, None] - 1 - j
-    idx = jnp.where(minus[:, None], idx_minus, idx_plus)
-    idx_c = jnp.clip(idx, 0, L - 1)
-    wcodes = codes[idx_c]                            # db codes (cap, wt)
 
-    plus_lut = jnp.asarray(C.DB_TO_MELT_PLUS.astype(np.int32))
-    comp_lut = jnp.asarray(C.DB_TO_MELT_COMPLEMENT.astype(np.int32))
-    melt = jnp.where(minus[:, None], comp_lut[jnp.clip(wcodes, 0, 17)],
-                     plus_lut[jnp.clip(wcodes, 0, 17)])
-    in_win = j < t_len[:, None]
-    # bases the device DP cannot represent exactly -> host fallback:
-    # DB_GAP / DB_UNKNOWN drop and shift the window in the reference, and
-    # degenerate codes (DB_M..DB_N) resolve *optimistically* per query
-    # base (reference nuc_cruc.cpp:14-201) — approximating them with any
-    # fixed letter could under-score a true hit and unsoundly screen it.
-    needs_host = jnp.any(in_win & (wcodes > C.DB_I), axis=1)
-    tcodes = jnp.where(in_win, melt, 0).astype(jnp.int32)
 
-    # --- screening DP per condition (chunked to bound memory) ------------
-    # DP_SLOT_MARGIN keeps the verdict conservative under the slot-table
-    # DP's f32 matmul rounding (see thermo_dp.dp_max_score_slots).
-    thr_cand = thresholds[:, os_idx]                 # (num_cond, cap)
-    ch = min(cap, PanelConfig.DP_CHUNK)
-    nch = cap // ch
+def _slot_segment_caps(slot_meta, n_frags, tile_len, word_len):
+    """Static per-slot segment capacities: ~2x the expected seed-diagonal
+    count of the batch on random sequence, padded for variance."""
+    caps = []
+    for (ol, minus, qp, n_words) in slot_meta:
+        expected = n_frags * tile_len * max(n_words, 1) >> (2 * word_len)
+        caps.append(-(-(2 * expected + 512) // 256) * 256)
+    return tuple(caps)
 
-    def chunk_keep(xs):
-        osc, tc, tl_c, thr = xs
-        k = jnp.ones(ch, dtype=bool)
-        for c in range(num_cond):
-            score = dp_max_score_slots(osc, tc, tl_c, slot_tables[c],
-                                       oligo_len, wq=wq_max, wt=wt)
-            k = k & ((score >= thr[c] - DP_SLOT_MARGIN)
-                     | (thr[c] == INT_MIN))
-        return k
 
-    xs = (os_idx.reshape(nch, ch),
-          tcodes.reshape(nch, ch, wt), t_len.reshape(nch, ch),
-          jnp.swapaxes(thr_cand.reshape(num_cond, nch, ch), 0, 1))
-    if nch == 1:
-        keep = chunk_keep(jax.tree.map(lambda x: x[0], xs))
+def panel_step_core(frags, frag_lens, oligo_words, t_canon, thresholds,
+                    *, slot_meta, word_len, num_os, max_words, wq_max,
+                    tile_len, cap, kcap, num_cond, n_frags, full=False):
+    """Device program: seeds + per-slot screening DP for a fragment batch.
+
+    frags:       (n_frags, tile_len) uint8 db codes, padded DB_UNKNOWN
+    frag_lens:   (n_frags,) int32 true lengths
+    oligo_words: (num_os, max_words) int32 compacted word values (-1 pad)
+    t_canon:     (num_cond, 30, 30, 7) int32 canonical DP energy tables
+                 (ops/thermo_dp.build_t_canon)
+    thresholds:  (num_cond, num_os) int32 min DP score (INT_MIN = off)
+    slot_meta:   STATIC tuple, one (oligo_len, minus, qpair_rows_tuple,
+                 n_words) per real slot — folded into the compiled program
+                 so every slot's DP runs at its exact oligo length with
+                 constant energy-table operands (MXU one-hot matmul, no
+                 gathers).
+
+    The candidate pool (all fragments x per-fragment compaction) is
+    stable-sorted by slot; each slot's segment is processed by one DP call
+    whose batch is the slot's static capacity (_slot_segment_caps).  An
+    inactive slot (no candidates) skips its DP via lax.cond.
+
+    Returns (packed, slot, p, keep, needs_host, valid):
+      packed: 1-D int32 resolve payload —
+        [0]                      n_kept (total over the batch)
+        [1 : 1+n]                per-fragment overflow flags
+        [1+n : 1+n+num_os]       per-slot segment-overflow flags
+        [... : ... + n]          per-fragment candidate counts
+        [... : ... + n*num_os]   per-(fragment, slot) seed counts
+        [... : ... + 4*bkcap]    kept rows: flat_idx, slot, p, kmin
+      slot/p/valid: (n_frags, cap) per-candidate arrays.
+      keep/needs_host: pool-order per-candidate arrays when full=True
+      (tests), all-zeros placeholders otherwise.
+    """
+    n = n_frags
+    L = tile_len
+    nw_pos = L - word_len + 1
+    bkcap = min(kcap * n, n * cap) if kcap else n * cap
+    n_real = len(slot_meta)
+    seg_caps = _slot_segment_caps(slot_meta, n, tile_len, word_len)
+    max_seg = max(seg_caps)
+
+    seed = functools.partial(
+        _seed_fragment, word_len=word_len, num_os=num_os,
+        max_words=max_words, tile_len=tile_len, cap=cap)
+    (slot, p, n_cand, counts, overflow, word,
+     word_valid) = jax.vmap(seed, in_axes=(0, 0, None))(
+        frags, frag_lens, oligo_words)
+
+    # --- pooled candidate stream, slot-major via stable sort -------------
+    Bp = n * cap
+    slot_f = slot.reshape(Bp)
+    p_f = p.reshape(Bp)
+    rank = jnp.arange(Bp, dtype=jnp.int32) % cap
+    frag_f = jnp.arange(Bp, dtype=jnp.int32) // cap
+    valid = rank < n_cand[frag_f]
+
+    key = jnp.where(valid, slot_f, num_os)
+    order = jnp.argsort(key, stable=True)            # slot-major; within a
+    p_sorted = p_f[order]                            # slot: frag-major,
+    frag_sorted = frag_f[order]                      # p-ascending
+    # pad so dynamic_slice never clamps into a previous slot's tail
+    pad = jnp.zeros(max_seg, dtype=jnp.int32)
+    p_sorted = jnp.concatenate([p_sorted, pad])
+    frag_sorted = jnp.concatenate([frag_sorted, pad])
+    order_pad = jnp.concatenate([order.astype(jnp.int32), pad])
+
+    slot_counts = counts.sum(axis=0).astype(jnp.int32)   # (num_os,)
+    seg_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(slot_counts)])
+    slot_over = slot_counts[:n_real] > jnp.asarray(seg_caps, jnp.int32)
+
+    frags_flat = frags.reshape(-1)
+
+    # --- per-slot screening DP (unrolled; static shapes per slot) --------
+    keep_segs, nh_segs, segpos_segs = [], [], []
+    for s, (ol, minus, qp, n_words) in enumerate(slot_meta):
+        Bs = seg_caps[s]
+        wq_s = ol
+        wt_s = ol + 2 * C.NUM_FLANK_BASE
+        start_s = seg_start[s]
+        cnt_s = jnp.minimum(slot_counts[s], Bs)
+        pp = jax.lax.dynamic_slice(p_sorted, (start_s,), (Bs,))
+        fi = jax.lax.dynamic_slice(frag_sorted, (start_s,), (Bs,))
+        seg_valid = jnp.arange(Bs) < cnt_s
+
+        # static energy operand: T_slot[v, (r, c, e)] = t_canon[c, v, qp_r, e]
+        qp_idx = jnp.asarray(qp, jnp.int32)               # (wq_s,)
+        Ts = t_canon[:, :, qp_idx, :]                     # (nc, 30, wq_s, 7)
+        Ts = jnp.transpose(Ts, (1, 2, 0, 3)).reshape(
+            30, wq_s * num_cond * 7).astype(jnp.float32)
+        thr_s = thresholds[:, s]                          # (nc,)
+
+        def run_seg(args, *, Bs=Bs, wq_s=wq_s, wt_s=wt_s, minus=minus,
+                    ol=ol, s=s):
+            pp, fi, seg_valid, Ts, thr_s = args
+            flen = frag_lens[fi]
+            start = pp - C.NUM_FLANK_BASE
+            full_win = (start >= 0) & (start + wt_s <= flen)
+            start_c = jnp.clip(start, 0, L - wt_s)
+            jj = jnp.arange(wt_s, dtype=jnp.int32)[None, :]
+            gidx = fi[:, None] * L + start_c[:, None] + jj
+            wcod = frags_flat[gidx].astype(jnp.int32)     # consecutive
+            if minus:
+                wrev = jnp.flip(wcod, axis=1)
+                melt = jnp.where(wrev <= C.DB_MAX_ATGC, 3 - wrev,
+                                 jnp.where(wrev == C.DB_I, 4, 99))
+            else:
+                melt = jnp.where(wcod <= C.DB_I, wcod, 99)
+            needs_host = (~full_win) | jnp.any(melt > 4, axis=1)
+            tb5 = jnp.where(melt <= 4, melt, 0)
+
+            # one-hot target-pair matmul: exact (one-hot rows select
+            # single integer-valued f32 entries; HIGHEST reproduces f32)
+            pt6 = jnp.concatenate(
+                [jnp.full((Bs, 1), 5, jnp.int32), tb5[:, :-1]], axis=1)
+            ptb = pt6 * NUM_T5 + tb5
+            ohp = (ptb[:, :, None]
+                   == jnp.arange(30)[None, None, :]).astype(jnp.float32)
+            E = jnp.einsum('bjv,vk->bjk', ohp, Ts,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+            E = jnp.round(E).astype(jnp.int32).reshape(
+                Bs, wt_s, wq_s, num_cond, 7)
+            E = jnp.moveaxis(E, 2, 0)                 # (wq, Bs, wt, nc, 7)
+            E = jnp.moveaxis(E, 3, 1)                 # (wq, nc, Bs, wt, 7)
+
+            neg1 = jnp.full((num_cond, Bs, wt_s + 1), -1, jnp.int32)
+
+            def row_step(carry, e):
+                prevM, prevIq, prevIt, best = carry
+                dgmm, dgmq, dgmt = e[..., 0], e[..., 1], e[..., 2]
+                dgqi, dgqe = e[..., 3], e[..., 4]
+                dgti, dgte = e[..., 5], e[..., 6]
+                m = jnp.maximum(
+                    jnp.maximum(_relu(prevM[..., :-1]) - dgmm,
+                                _relu(prevIq[..., :-1]) - dgmq),
+                    _relu(prevIt[..., :-1]) - dgmt)
+                it = jnp.maximum(_relu(prevM[..., 1:]) - dgti,
+                                 _relu(prevIt[..., 1:]) - dgte)
+                m_shift = jnp.concatenate(
+                    [jnp.full((num_cond, Bs, 1), -1, jnp.int32),
+                     m[..., :-1]], axis=2)
+                a = jnp.maximum(_relu(m_shift) - dgqi, -dgqe)
+                ssum = jnp.cumsum(dgqe, axis=2)
+                iq = jax.lax.cummax(a + ssum, axis=2) - ssum
+                best = jnp.maximum(best, jnp.max(m, axis=2))
+                z = neg1[..., :1]
+                return (jnp.concatenate([z, m], 2),
+                        jnp.concatenate([z, iq], 2),
+                        jnp.concatenate([z, it], 2), best), None
+
+            init = (neg1, neg1, neg1,
+                    jnp.full((num_cond, Bs), -1, jnp.int32))
+            (_, _, _, best), _ = jax.lax.scan(row_step, init, E)
+
+            keep = jnp.ones(Bs, dtype=bool)
+            for c in range(num_cond):
+                keep = keep & ((best[c] >= thr_s[c])
+                               | (thr_s[c] == INT_MIN))
+            return (keep | needs_host) & seg_valid, needs_host & seg_valid
+
+        def skip_seg(args, *, Bs=Bs):
+            return jnp.zeros(Bs, bool), jnp.zeros(Bs, bool)
+
+        keep_s, nh_s = jax.lax.cond(
+            cnt_s > 0, run_seg, skip_seg,
+            (pp, fi, seg_valid, Ts, thr_s))
+        # an overflowed slot contributes nothing (host fallback)
+        if num_cond:
+            keep_s = keep_s & (slot_counts[s] <= seg_caps[s])
+        keep_segs.append(keep_s)
+        nh_segs.append(nh_s)
+        segpos_segs.append(start_s + jnp.arange(Bs, dtype=jnp.int32))
+
+    if keep_segs:
+        keep_all = jnp.concatenate(keep_segs)
+        nh_all = jnp.concatenate(nh_segs)
+        segpos_all = jnp.concatenate(segpos_segs)
     else:
-        keep = jax.lax.map(chunk_keep, xs).reshape(cap)
+        keep_all = jnp.zeros(1, bool)
+        nh_all = jnp.zeros(1, bool)
+        segpos_all = jnp.zeros(1, jnp.int32)
 
-    keep = keep | needs_host  # unrepresentable windows go to the host path
+    # --- kept-seed compaction + kmin recomputation -----------------------
+    n_kept = keep_all.sum().astype(jnp.int32)
+    (kept_seg,) = jnp.nonzero(keep_all, size=bkcap,
+                              fill_value=keep_all.shape[0])
+    kv = kept_seg < keep_all.shape[0]
+    ks = jnp.clip(kept_seg, 0, keep_all.shape[0] - 1)
+    sorted_pos = jnp.clip(segpos_all[ks], 0, Bp + max_seg - 1)
+    pool_idx = jnp.where(kv, order_pad[sorted_pos], 0)
+    os_k = jnp.where(kv, slot_f[jnp.clip(pool_idx, 0, Bp - 1)], 0)
+    p_k = jnp.where(kv, p_f[jnp.clip(pool_idx, 0, Bp - 1)], 0)
+    f_k = jnp.where(kv, frag_f[jnp.clip(pool_idx, 0, Bp - 1)], 0)
 
-    # --- device-side compaction of KEPT seeds ----------------------------
-    # The fast resolve path reads back only this list (plus counts): a
-    # wedge-prone / low-bandwidth device link pays for kept seeds, not for
-    # every screened-out candidate.
-    if kcap is None:
-        kcap = max(cap // 4, 512)
-    kcap = min(kcap, cap)
-    sel = keep & valid
-    n_kept = sel.sum().astype(jnp.int32)
-    (kept_idx,) = jnp.nonzero(sel, size=kcap, fill_value=cap)
-    ki = jnp.clip(kept_idx, 0, cap - 1)
-    kv = kept_idx < cap
-    os_k = jnp.where(kv, os_idx[ki], 0)
-    p_k = jnp.where(kv, p[ki], 0)
-    kmin_k = jnp.where(kv, cand_kmin[ki], 0)
+    # representative word index: smallest k with a word match on the
+    # diagonal (reference first-occurrence dedup, bind_oligo.cpp:33-47)
+    kk = jnp.arange(max_words, dtype=jnp.int32)[None, :]
+    tpos = p_k[:, None] + kk                          # (bkcap, max_words)
+    tin = (tpos >= 0) & (tpos < nw_pos)
+    gidx = f_k[:, None] * nw_pos + jnp.clip(tpos, 0, nw_pos - 1)
+    wv = word.reshape(-1)[gidx]
+    wok = word_valid.reshape(-1)[gidx] & tin
+    ow_sel = oligo_words[os_k]                        # (bkcap, max_words)
+    match = wok & (ow_sel >= 0) & (wv == ow_sel)
+    kmin_k = jnp.min(jnp.where(match, kk, max_words), axis=1)
+    kmin_k = jnp.where(kv, kmin_k, 0)
 
-    return (os_idx, p, cand_kmin, keep, needs_host, valid, counts,
-            os_k, p_k, kmin_k, n_kept)
+    packed = jnp.concatenate([
+        n_kept[None], overflow.astype(jnp.int32),
+        jnp.zeros(num_os, jnp.int32).at[:n_real].set(
+            slot_over.astype(jnp.int32)),
+        n_cand, counts.reshape(-1),
+        pool_idx.astype(jnp.int32), os_k, p_k, kmin_k])
 
+    if full:
+        # pool-order keep/needs_host (tests): scatter through the sort
+        dst = order_pad[jnp.clip(segpos_all, 0, Bp + max_seg - 1)]
+        keep_out = jnp.zeros(Bp, bool).at[
+            jnp.where(keep_all, dst, Bp)].set(True, mode="drop")
+        nh_out = jnp.zeros(Bp, bool).at[
+            jnp.where(nh_all, dst, Bp)].set(True, mode="drop")
+        keep_out = keep_out.reshape(n, cap)
+        nh_out = nh_out.reshape(n, cap)
+    else:
+        keep_out = jnp.zeros((n, cap), bool)
+        nh_out = jnp.zeros((n, cap), bool)
 
-_fragment_step = jax.jit(
-    fragment_step_core,
-    static_argnames=("word_len", "num_os", "max_words", "wq_max", "wt",
-                     "tile_len", "cap", "num_cond", "kcap"))
-
-
-@functools.lru_cache(maxsize=None)
-def _batched_step(key):
-    """jit(vmap(step)) for one PanelConfig key: a single device program
-    covering a whole batch of fragments — amortizes the per-launch
-    dispatch/tunnel overhead that dominates when the chip sits behind an
-    RPC link (one launch per batch instead of one per fragment)."""
-    (word_len, num_os, max_words, wq_max, tile_len, cap, num_cond,
-     kcap) = key
-    wt = wq_max + 2 * C.NUM_FLANK_BASE
-    step = functools.partial(
-        fragment_step_core,
-        word_len=word_len, num_os=num_os, max_words=max_words,
-        wq_max=wq_max, wt=wt, tile_len=tile_len, cap=cap,
-        num_cond=num_cond, kcap=kcap)
-
-    def run(frags, frag_lens, ow, on, tables, olen, om, thr):
-        return jax.vmap(
-            lambda fc, fl: step(fc, fl, ow, on, tables, olen, om, thr)
-        )(frags, frag_lens)
-
-    return jax.jit(run)
+    return (packed, slot, p, keep_out, nh_out, valid.reshape(n, cap))
 
 
 class DevicePanel:
-    """Host-side wrapper: packs an oligo panel once, runs fragments."""
+    """Host-side wrapper: packs an oligo panel once, runs fragment batches."""
 
     def __init__(self, panel, config, dg_tables, thresholds):
         """panel: list of dicts with keys
@@ -266,32 +408,38 @@ class DevicePanel:
         self.config = cfg
         self.n_real = len(panel)
         ow = np.full((cfg.num_os, cfg.max_words), -1, dtype=np.int32)
-        on = np.zeros(cfg.num_os, dtype=np.int32)
-        oc = np.zeros((cfg.num_os, cfg.wq_max), dtype=np.int32)
-        olen = np.zeros(cfg.num_os, dtype=np.int32)
-        om = np.zeros(cfg.num_os, dtype=bool)
+        meta = []
         for i, o in enumerate(panel):
             nw = len(o["words"])
             ow[i, :nw] = o["words"]
-            on[i] = nw
-            oc[i, :len(o["codes"])] = o["codes"]
-            olen[i] = len(o["codes"])
-            om[i] = o["minus"]
+            codes = np.asarray(o["codes"], dtype=np.int64)
+            qpr = build_qpair_rows(codes[None, :], [len(codes)],
+                                   wq=len(codes))[0]
+            meta.append((int(len(codes)), bool(o["minus"]),
+                         tuple(int(v) for v in qpr), nw))
+        self.slot_meta = tuple(meta)
         thr = np.full((cfg.num_cond, cfg.num_os), INT_MIN, dtype=np.int32)
         thr[:, :self.n_real] = thresholds
-        # per-(condition, slot, row) DP energy tables — the gather-free
-        # MXU formulation of the screening DP (thermo_dp)
-        tables = np.stack([
-            build_slot_row_tables(oc, olen, dg_tables[c], wq=cfg.wq_max)
-            for c in range(cfg.num_cond)])
-        self.args = (jnp.asarray(ow), jnp.asarray(on), jnp.asarray(tables),
-                     jnp.asarray(olen), jnp.asarray(om), jnp.asarray(thr))
+        tcan = np.stack([build_t_canon(dg_tables[c])
+                         for c in range(cfg.num_cond)])
+        self.args = (jnp.asarray(ow), jnp.asarray(tcan), jnp.asarray(thr))
+        self._steps = {}
 
-    def submit_fragments(self, frag_code_list):
-        """Enqueue ONE batched device program covering all fragments in
-        the list (async); resolve with `resolve_fragments`.  Single-chip
-        counterpart of MeshPanel.submit_fragments: the batch rides a
-        vmap axis instead of a mesh axis."""
+    def _step(self, n_frags, full):
+        fn = self._steps.get((n_frags, full))
+        if fn is None:
+            cfg = self.config
+            fn = jax.jit(functools.partial(
+                panel_step_core,
+                slot_meta=self.slot_meta, word_len=cfg.word_len,
+                num_os=cfg.num_os, max_words=cfg.max_words,
+                wq_max=cfg.wq_max, tile_len=cfg.tile_len, cap=cfg.cap,
+                kcap=cfg.kcap, num_cond=cfg.num_cond, n_frags=n_frags,
+                full=full))
+            self._steps[(n_frags, full)] = fn
+        return fn
+
+    def _pack_host(self, frag_code_list):
         cfg = self.config
         n = len(frag_code_list)
         frags = np.full((n, cfg.tile_len), C.DB_UNKNOWN, dtype=np.uint8)
@@ -301,91 +449,101 @@ class DevicePanel:
                 raise ValueError("fragment exceeds tile_len")
             frags[i, :len(fc)] = fc
             lens[i] = len(fc)
-        out = _batched_step(cfg.key())(
+        return frags, lens
+
+    def submit_fragments(self, frag_code_list, full=False):
+        """Enqueue ONE batched device program covering all fragments in
+        the list (async); resolve with `resolve_fragments`."""
+        n = len(frag_code_list)
+        frags, lens = self._pack_host(frag_code_list)
+        out = self._step(n, full)(
             jnp.asarray(frags), jnp.asarray(lens), *self.args)
         return n, out
 
+    def _unpack(self, n, packed):
+        cfg = self.config
+        bkcap = cfg.batch_kcap(n)
+        n_kept = int(packed[0])
+        o = 1
+        overflow = packed[o:o + n] != 0
+        o += n
+        slot_over = packed[o:o + cfg.num_os] != 0
+        o += cfg.num_os
+        n_cand = packed[o:o + n]
+        o += n
+        counts = packed[o:o + n * cfg.num_os].reshape(n, cfg.num_os)
+        o += n * cfg.num_os
+        kept = packed[o:].reshape(4, bkcap)
+        return n_kept, overflow, slot_over, n_cand, counts, kept
+
     def resolve_fragments(self, pending):
-        """Fast resolve: reads back ONLY the device-compacted kept-seed
-        list + per-slot counts (the full candidate arrays never leave the
-        device) — the d2h payload is what survives the screen, not every
-        candidate."""
+        """Fast resolve: ONE device-to-host transfer of the packed buffer
+        (kept seeds + counts); the full candidate arrays never leave the
+        device."""
         n, out = pending
         cfg = self.config
-        os_k, p_k, kmin_k, n_kept, counts = (
-            np.asarray(out[7]), np.asarray(out[8]), np.asarray(out[9]),
-            np.asarray(out[10]), np.asarray(out[6]))
+        packed = np.asarray(out[0])
+        (n_kept, overflow, slot_over, n_cand, counts,
+         kept) = self._unpack(n, packed)
+        bkcap = cfg.batch_kcap(n)
+        m = min(n_kept, bkcap)
+        flat_idx, os_k, p_k, kmin_k = (kept[0][:m], kept[1][:m],
+                                       kept[2][:m], kept[3][:m])
+        frag_of = flat_idx // cfg.cap
+        kept_over = n_kept > bkcap
         results = []
         for i in range(n):
-            m = int(n_kept[i])
+            sel = frag_of == i
             ci = counts[i][:self.n_real]
             results.append({
-                "os_k": os_k[i][:min(m, cfg.kcap)],
-                "p_k": p_k[i][:min(m, cfg.kcap)],
-                "kmin_k": kmin_k[i][:min(m, cfg.kcap)],
-                "counts": ci, "n_kept": m,
-                "overflow": bool(ci.sum() > cfg.cap or m > cfg.kcap),
+                "os_k": os_k[sel], "p_k": p_k[sel], "kmin_k": kmin_k[sel],
+                "counts": ci, "n_kept": int(sel.sum()),
+                "slot_overflow": slot_over[:self.n_real],
+                "overflow": bool(overflow[i]) or kept_over,
             })
         return results
 
     def resolve_fragments_full(self, pending):
         """Full resolve (tests / debugging): every candidate with its
-        keep/needs_host verdict — transfers the whole candidate block."""
+        keep/needs_host verdict — requires a submit with full=True.
+        Note kmin is only materialized for KEPT candidates (screened-out
+        rows report 0): the production resolve never needs the word index
+        of a window it will not evaluate."""
         n, out = pending
-        (os_idx, p, kmin, keep, needs_host, valid,
-         counts) = map(np.asarray, out[:7])
+        cfg = self.config
+        packed = np.asarray(out[0])
+        (n_kept, overflow, slot_over, n_cand, counts,
+         kept) = self._unpack(n, packed)
+        slot, p, keep, needs_host, valid = map(np.asarray, out[1:6])
+        kmin_full = np.zeros((n, cfg.cap), dtype=np.int32)
+        m = min(n_kept, cfg.batch_kcap(n))
+        fi = kept[0][:m] // cfg.cap
+        ri = kept[0][:m] % cfg.cap
+        kmin_full[fi, ri] = kept[3][:m]
         results = []
         for i in range(n):
-            m = int(valid[i].sum())
+            mm = int(n_cand[i])
             ci = counts[i][:self.n_real]
             results.append({
-                "os_idx": os_idx[i][:m], "p": p[i][:m], "kmin": kmin[i][:m],
-                "keep": keep[i][:m], "needs_host": needs_host[i][:m],
+                "os_idx": slot[i][:mm], "p": p[i][:mm],
+                "kmin": kmin_full[i][:mm],
+                "keep": keep[i][:mm], "needs_host": needs_host[i][:mm],
                 "counts": ci,
-                "overflow": bool(ci.sum() > m),
+                "slot_overflow": slot_over[:self.n_real],
+                "overflow": bool(overflow[i]),
             })
         return results
 
-    def submit_fragment(self, frag_codes):
-        """Enqueue the device step (async); resolve with
-        `resolve_fragment`.  JAX dispatch returns immediately, so device
-        compute overlaps host work on other fragments."""
-        cfg = self.config
-        L = len(frag_codes)
-        if L > cfg.tile_len:
-            raise ValueError("fragment exceeds tile_len")
-        buf = np.full(cfg.tile_len, C.DB_UNKNOWN, dtype=np.uint8)
-        buf[:L] = frag_codes
-        return _fragment_step(
-            jnp.asarray(buf), jnp.int32(L), *self.args,
-            word_len=cfg.word_len, num_os=cfg.num_os,
-            max_words=cfg.max_words, wq_max=cfg.wq_max, wt=cfg.wt,
-            tile_len=cfg.tile_len, cap=cfg.cap, num_cond=cfg.num_cond,
-            kcap=cfg.kcap)
+    def submit_fragment(self, frag_codes, full=False):
+        """Single-fragment convenience wrapper (async)."""
+        return self.submit_fragments([frag_codes], full=full)
 
-    def resolve_fragment(self, out):
-        (os_idx, p, kmin, keep, needs_host, valid,
-         counts) = map(np.asarray, out[:7])
-        n = int(valid.sum())
-        return {
-            "os_idx": os_idx[:n], "p": p[:n], "kmin": kmin[:n],
-            "keep": keep[:n], "needs_host": needs_host[:n],
-            "counts": counts[:self.n_real],
-            "overflow": bool(counts[:self.n_real].sum() > n),
-        }
+    def resolve_fragment(self, pending):
+        return self.resolve_fragments_full(pending)[0]
 
-    def resolve_fragment_fast(self, out):
-        """Kept-seed-only resolve of a single-fragment submission."""
-        cfg = self.config
-        m = int(np.asarray(out[10]))
-        counts = np.asarray(out[6])[:self.n_real]
-        k = min(m, cfg.kcap)
-        return {
-            "os_k": np.asarray(out[7])[:k], "p_k": np.asarray(out[8])[:k],
-            "kmin_k": np.asarray(out[9])[:k],
-            "counts": counts, "n_kept": m,
-            "overflow": bool(counts.sum() > cfg.cap or m > cfg.kcap),
-        }
+    def resolve_fragment_fast(self, pending):
+        return self.resolve_fragments(pending)[0]
 
     def run_fragment(self, frag_codes):
-        return self.resolve_fragment(self.submit_fragment(frag_codes))
+        return self.resolve_fragment(self.submit_fragment(frag_codes,
+                                                          full=True))

@@ -139,6 +139,8 @@ class PanelGroup:
             # sum_slots tile * n_words(slot) / 4^w; size the fixed
             # candidate capacity at ~2x that (the variance of the sum is
             # small).  Overflow falls back to host seeding per group.
+            # The chunked DP skips all-padding chunks, so a generous cap
+            # costs memory, not compute.
             total_words = sum(len(p["words"]) for p in self.panel)
             expected = tile_len * total_words // 4 ** self.word_len
             cap = min(MAX_CAP, max(2 * expected + 1024, 2048))
@@ -249,9 +251,11 @@ class FragmentPanelManager:
     def _merge_group(self, out, g, res):
         """Fold one group's resolved fragment result into the slot dict:
         slot_key -> (q_off, t_pos, n_screened), kept seeds in reference
-        order plus the count the device screen pruned.  A group that
-        overflowed the candidate (or kept-seed) capacity contributes
-        nothing — the caller falls back to host seeding for its slots.
+        order plus the count the device screen pruned.  A fragment that
+        overflowed its candidate (or the batch kept-seed) capacity
+        contributes nothing; a slot that overflowed its per-slot segment
+        contributes nothing for that slot only — the caller falls back to
+        host seeding for the missing slots.
 
         The resolve contract is the fast kept-only form (os_k/p_k/kmin_k
         + per-slot total counts): screened-out candidates never cross the
@@ -264,16 +268,24 @@ class FragmentPanelManager:
         p = res["p_k"].astype(np.int64)
         kmin = res["kmin_k"].astype(np.int64)
         counts = res["counts"]
+        slot_over = res.get("slot_overflow")
+        n_fb = 0
         with self.stats_lock:
             self.stats["seeds"] += int(counts.sum())
             self.stats["kept"] += len(p)
         for i, key in enumerate(g.keys):
+            if slot_over is not None and slot_over[i]:
+                n_fb += 1
+                continue
             sel = (os_k == i)
             # device order is ascending p; host order is ascending
             # delta = -p (reference sort_by_delta)
             q = kmin[sel][::-1]
             t = (p[sel] + kmin[sel])[::-1]
             out[key] = (q, t, int(counts[i]) - int(sel.sum()))
+        if n_fb:
+            with self.stats_lock:
+                self.stats["fallback"] += n_fb
 
     def resolve(self, pending):
         """Slot dict for a single-fragment submit call."""
