@@ -13,20 +13,23 @@ measured on the dev box (see BASELINE.md "Measured CPU baseline"):
 to the BASELINE.json 32-core-node target at 32 x 0.94 x 3.412 =
 102.6 Mb/s. vs_baseline is measured-throughput / 102.6.
 
-Methodology (VERDICT r2 #8):
+Methodology (VERDICT r2 #8, r3 #2):
   * correctness gate: the hit list must be BYTE-IDENTICAL to the
     recorded reference output (sha256 in BENCH_GOLDEN_SHA256, generated
     from tntblast v2.77 on this exact config) — not a count floor;
   * median of 5 timed runs, with min/max spread reported;
-  * both paths are measured when a healthy accelerator is present
-    (host C++ path, and the device seed+screen path `--tpu-screen T`);
-    the reported value is the better median and `path` says which.
-    An unhealthy device link (devhealth.py) skips the device config
-    instead of hanging.
+  * the device path is measured whenever the tunnel is healthy; the
+    health probe is RETRIED around the host measurement because the link
+    wedges intermittently (minutes at a time, BASELINE.md) — one failed
+    probe never zeroes out the round;
+  * a device-only microbenchmark (fragment batches through the panel
+    step with a one-element readback) records the chip's screening
+    throughput independent of bulk device-to-host transfers.
 """
 
 import contextlib
 import hashlib
+import io
 import json
 import os
 import statistics
@@ -64,6 +67,79 @@ def _fail(msg):
     return 1
 
 
+def _device_microbench(fna, panel_path):
+    """Chip-side screening throughput, independent of bulk d2h transfers.
+
+    Runs the real bench panel over real bench fragments: N panel-step
+    executions synced by a one-element readback.  Reports Mbases/s of
+    fragment data screened on the device (seeding + per-slot exact DP at
+    both screening temperatures), plus windows/s."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tntblast_tpu.engine import make_melt_engine
+    from tntblast_tpu.io.fastx import open_database, seq_len_increment
+    from tntblast_tpu.model import (
+        expand_degenerate_signatures, read_input_file)
+    from tntblast_tpu.options import Options
+    from tntblast_tpu.parallel.panel import FragmentPanelManager
+
+    opt = Options()
+    opt.parse(["-i", panel_path, "-d", fna, "-A", "PCR", "-e", "40",
+               "-E", "45", "-l", "2000", "-o", os.devnull])
+    opt.sig_list = read_input_file(opt.input_filename, opt.ignore_probe,
+                                   False)
+    opt.sig_list = expand_degenerate_signatures(opt.sig_list,
+                                                opt.degen_rescale_ct)
+    engine = make_melt_engine(opt, n_threads=1)
+    db = open_database(opt.dbase_filename)
+    mgr = FragmentPanelManager(opt, engine)
+
+    mpl = opt.max_product_length() + 2
+    frags = []
+    for tgt in range(db.size()):
+        tlen = db.approx_seq_len(tgt)
+        delta = seq_len_increment(tlen, opt.fragment_target_threshold)[0]
+        start, stop = 0, delta
+        while True:
+            _, seq_codes = db.read(tgt, start, stop + mpl)
+            frags.append(seq_codes)
+            if stop == tlen - 1:
+                break
+            start, stop = stop + 1, min(stop + delta, tlen - 1)
+        if len(frags) >= mgr.batch:
+            break
+    frags = frags[:mgr.batch]
+    batch_bases = sum(len(f) for f in frags)
+
+    g = mgr.groups[0]
+    dp = g.device_panel(mgr._tile_len(max(len(f) for f in frags)))
+    arr, lens = dp._pack_host(frags)
+    fd = jnp.asarray(arr)
+    ld = jnp.asarray(lens)
+    step = dp._step(len(frags), False)
+
+    def sync(out):
+        return np.asarray(out[0][:1])
+
+    out = step(fd, ld, *dp.args)            # compile + warm
+    sync(out)
+    n_kept = int(np.asarray(out[0][0]))
+    reps = 6
+    t0 = time.time()
+    for _ in range(reps):
+        out = step(fd, ld, *dp.args)
+    sync(out)
+    dt = (time.time() - t0) / reps
+    return {
+        "mbases_per_s": round(batch_bases / dt / 1e6, 2),
+        "batch_ms": round(dt * 1e3, 1),
+        "n_frags": len(frags),
+        "kept_seeds": n_kept,
+    }
+
+
 def run():
     here = os.path.dirname(os.path.abspath(__file__))
     work = os.path.join(here, "bench_work")
@@ -95,40 +171,67 @@ def run():
                         break
                 dst.write(line)
 
-    configs = [("host", [])]
-    ok, platform, reason = device_health()
-    device_note = f"{platform}: {reason}"
-    if ok and platform != "cpu":
-        configs.append(("tpu-screen", ["--tpu-screen", "T"]))
-
     devnull = open(os.devnull, "w")
     results = {}
-    with contextlib.redirect_stdout(devnull):
-        for name, extra in configs:
-            argv = base_argv + extra
-            warm = ["-i", panel, "-d", warm_fna, "-A", "PCR", "-e", "40",
-                    "-E", "45", "-l", "2000",
-                    "-o", os.path.join(work, "warm_out.txt")] + extra
-            rc = local_main(warm, stdout=devnull)
-            if rc != 0:
-                return _fail(f"warmup exit code {rc} ({name})")
-            times = []
-            runs = 5 if name == "host" else 3
-            for _ in range(runs):
-                t0 = time.time()
-                rc = local_main(argv, stdout=devnull)
-                dt = time.time() - t0
-                if rc != 0:
-                    return _fail(f"engine exit code {rc} ({name})")
-                got = _sha256(out_path)
-                if got != BENCH_GOLDEN_SHA256:
-                    return _fail(
-                        f"hit list diverges from reference golden ({name}): "
-                        f"sha256 {got[:16]}... != "
-                        f"{BENCH_GOLDEN_SHA256[:16]}...")
-                times.append(dt)
-            results[name] = times
+    notes = {}
+    probes = []
 
+    def probe():
+        ok, platform, reason = device_health(reprobe=True)
+        probes.append(f"{platform}: {reason}")
+        return ok and platform != "cpu"
+
+    def measure(name, extra, runs):
+        argv = base_argv + extra
+        warm = ["-i", panel, "-d", warm_fna, "-A", "PCR", "-e", "40",
+                "-E", "45", "-l", "2000",
+                "-o", os.path.join(work, "warm_out.txt")] + extra
+        err = io.StringIO()
+        with contextlib.redirect_stdout(devnull):
+            with contextlib.redirect_stderr(err):
+                rc = local_main(warm, stdout=devnull)
+        if rc != 0:
+            raise RuntimeError(f"warmup exit code {rc} ({name})")
+        times = []
+        for _ in range(runs):
+            err = io.StringIO()
+            t0 = time.time()
+            with contextlib.redirect_stdout(devnull):
+                with contextlib.redirect_stderr(err):
+                    rc = local_main(argv, stdout=devnull)
+            dt = time.time() - t0
+            if rc != 0:
+                raise RuntimeError(f"engine exit code {rc} ({name})")
+            got = _sha256(out_path)
+            if got != BENCH_GOLDEN_SHA256:
+                raise RuntimeError(
+                    f"hit list diverges from reference golden ({name}): "
+                    f"sha256 {got[:16]}... != {BENCH_GOLDEN_SHA256[:16]}...")
+            times.append(dt)
+            text = err.getvalue()
+            if "device" in text.lower() and "warning" in text.lower():
+                notes[name] = text.strip().splitlines()[-1]
+        results[name] = times
+
+    try:
+        measure("host", [], 5)
+    except RuntimeError as e:
+        return _fail(str(e))
+
+    # Device path: probe (retrying once after the host run — the tunnel
+    # wedges intermittently) and measure when healthy.
+    device_ok = probe() or probe()
+    if device_ok:
+        try:
+            measure("tpu-screen", ["--tpu-screen", "T"], 3)
+        except RuntimeError as e:
+            notes["tpu-screen"] = str(e)
+        try:
+            results["_micro"] = _device_microbench(fna, panel)
+        except Exception as e:   # noqa: BLE001 — microbench is best-effort
+            notes["microbench"] = f"{type(e).__name__}: {e}"
+
+    micro = results.pop("_micro", None)
     summary = {name: {
         "median_mbps": round(GENOME_MB / statistics.median(t), 3),
         "best_mbps": round(GENOME_MB / min(t), 3),
@@ -137,15 +240,20 @@ def run():
 
     best_path = max(summary, key=lambda n: summary[n]["median_mbps"])
     mbps = summary[best_path]["median_mbps"]
-    print(json.dumps({
+    out = {
         "metric": "pcr_search_throughput",
         "value": mbps,
         "unit": "Mbases/s",
         "vs_baseline": round(mbps / REF_MBPS_32CORE, 4),
         "path": best_path,
-        "device": device_note,
+        "device": probes[-1] if probes else "not probed",
         "paths": summary,
-    }))
+    }
+    if micro:
+        out["device_screen_microbench"] = micro
+    if notes:
+        out["notes"] = notes
+    print(json.dumps(out))
     return 0
 
 
