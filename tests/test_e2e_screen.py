@@ -151,3 +151,35 @@ def test_overflow_falls_back_to_host(tmp_path, monkeypatch, capsys):
     ret = cli.local_main(argv + ["-o", str(out_ref)], stdout=io.StringIO())
     assert ret == 0
     assert out_scr.read_text() == out_ref.read_text()
+
+
+def test_device_eval_resolves_windows(tmp_path, monkeypatch):
+    """The device gapless evaluator must actually resolve windows in an
+    end-to-end --tpu-screen run (dev_evaluated > 0) while keeping the
+    output byte-identical — guards against the eval path silently
+    degrading to screen-only."""
+    import io
+
+    from tntblast_tpu.engine import make_melt_engine, run_search
+    from tntblast_tpu.io.fastx import open_database
+    from tntblast_tpu.model import (
+        expand_degenerate_signatures, read_input_file)
+    from tntblast_tpu.options import Options
+    from tntblast_tpu import output as out_mod
+
+    monkeypatch.chdir(DATA)
+    args = (GOLD / "pcr_small.cmd").read_text().split()
+    out_file = tmp_path / "out.txt"
+    opt = Options()
+    opt.parse(args + ["-o", str(out_file), "--tpu-screen", "T", "-v", "F"])
+    opt.sig_list = read_input_file(opt.input_filename, opt.ignore_probe,
+                                   False)
+    opt.sig_list = expand_degenerate_signatures(opt.sig_list,
+                                                opt.degen_rescale_ct)
+    engine = make_melt_engine(opt, n_threads=1)
+    db = open_database(opt.dbase_filename)
+    state = run_search(opt, db, engine, stdout=io.StringIO())
+    assert state.profile["device_calls"] > 0, state.profile
+    assert state.profile["dev_evaluated"] > 0, state.profile
+    # device-evaluated windows replace host exact evaluations
+    assert state.profile["evaluated"] < 20, state.profile

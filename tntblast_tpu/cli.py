@@ -176,6 +176,8 @@ def local_main(argv, stdout=None):
             pr = getattr(state, "profile", {})
             print(f"[profile] exact melt evaluations = "
                   f"{pr.get('evaluated', 0)}", file=sys.stderr)
+            print(f"[profile] device-evaluated windows = "
+                  f"{pr.get('dev_evaluated', 0)}", file=sys.stderr)
             print(f"[profile] screened windows (host+device) = "
                   f"{pr.get('screened', 0)}", file=sys.stderr)
             print(f"[profile] device screen calls = "

@@ -229,7 +229,8 @@ class SearchState:
         # observability counters (reference PROFILE analogue,
         # tntblast_worker.cpp:124-265): exact melt evaluations performed
         # and windows pruned by the device screen
-        self.profile = {"evaluated": 0, "screened": 0, "device_calls": 0}
+        self.profile = {"evaluated": 0, "screened": 0,
+                        "dev_evaluated": 0, "device_calls": 0}
         # per-phase rdtsc cycles from the native search
         self.phases = {}
 
@@ -376,6 +377,7 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
             per_sig, stats, phases = result
             state.profile["evaluated"] += stats["evaluated"]
             state.profile["screened"] += stats["screened"]
+            state.profile["dev_evaluated"] += stats.get("dev_evaluated", 0)
             state.add_phases(phases)
         if per_sig is not None:
             for sig_id, kept in per_sig:
@@ -598,6 +600,8 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
                 st_ = ctx.frag.stats()
                 state.profile["evaluated"] += st_["evaluated"]
                 state.profile["screened"] += st_["screened"]
+                state.profile["dev_evaluated"] += st_.get(
+                    "dev_evaluated", 0)
                 state.add_phases(ctx.frag.profile())
                 ctx.close()
             panel_result = (
@@ -649,6 +653,7 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
         st_ = ctx.frag.stats()
         state.profile["evaluated"] += st_["evaluated"]
         state.profile["screened"] += st_["screened"]
+        state.profile["dev_evaluated"] += st_.get("dev_evaluated", 0)
         state.add_phases(ctx.frag.profile())
     if panel_mgr is not None:
         state.profile["device_calls"] = panel_mgr.stats["fragments"]

@@ -98,6 +98,10 @@ def _load():
         ctypes.c_float, ctypes.c_float, ctypes.c_float,
         _i32p, _i32p, ctypes.c_int64, ctypes.c_int64]
     lib.tnt_frag_stats.argtypes = [ctypes.c_void_p, _i64p, _i64p]
+    lib.tnt_frag_stats2.argtypes = [ctypes.c_void_p, _i64p]
+    lib.tnt_frag_set_evals.argtypes = [
+        ctypes.c_void_p, _u8p, ctypes.c_int, ctypes.c_int,
+        _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, ctypes.c_int64]
     lib.tnt_frag_profile.argtypes = [ctypes.c_void_p, _i64p]
     return lib
 
@@ -376,6 +380,24 @@ class FragSearch:
             np.float32(min_tm), np.float32(max_dg), np.float32(conc),
             q, t, len(q), int(n_screened))
 
+    def set_evals(self, oligo_codes, minus, q, t, evw):
+        """Attach device gapless-evaluation records to an injected slot
+        (tnt_frag_set_evals): evw is the (5, n) packed int32 block from
+        the device resolve, parallel to the (q, t) seed arrays."""
+        oc = np.ascontiguousarray(oligo_codes, dtype=np.uint8)
+        q = np.ascontiguousarray(q, dtype=np.int32)
+        t = np.ascontiguousarray(t, dtype=np.int32)
+        rows = [np.ascontiguousarray(evw[i], dtype=np.int32)
+                for i in range(5)]
+        self._lib.tnt_frag_set_evals(
+            self._h, oc, len(oc), int(bool(minus)),
+            q, t, rows[0], rows[1], rows[2], rows[3], rows[4], len(q))
+
+    def stats2(self):
+        a = np.zeros(1, np.int64)
+        self._lib.tnt_frag_stats2(self._h, a)
+        return {"dev_evaluated": int(a[0])}
+
     def set_verdicts(self, oligo_codes, minus, min_tm, max_dg, conc,
                      starts, flags):
         oc = np.ascontiguousarray(oligo_codes, dtype=np.uint8)
@@ -388,8 +410,11 @@ class FragSearch:
     def stats(self):
         a = np.zeros(1, np.int64)
         b = np.zeros(1, np.int64)
+        c = np.zeros(1, np.int64)
         self._lib.tnt_frag_stats(self._h, a, b)
-        return {"screened": int(a[0]), "evaluated": int(b[0])}
+        self._lib.tnt_frag_stats2(self._h, c)
+        return {"screened": int(a[0]), "evaluated": int(b[0]),
+                "dev_evaluated": int(c[0])}
 
     def profile(self):
         """Phase cycle counters (rdtsc):

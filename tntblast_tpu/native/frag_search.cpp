@@ -314,6 +314,18 @@ struct VerdictSlot {
     std::unordered_map<int64_t, uint8_t> flags;   // bit0 fail_tm, bit1 fail_dg
 };
 
+// Device-computed exact evaluation of a trusted gapless window
+// (ops/eval_gapless_jax.py): pre-salt dH/dS accumulators plus the
+// alignment metadata the filter cascade needs.  flags bit0 = trusted,
+// bit1 = the engine would report tm = 0 for this window.
+struct EvalRec {
+    uint8_t flags = 0;
+    uint8_t num_base = 0, mm = 0, align_len = 0;
+    uint8_t fm_q = 0, fm_t = 0, lm_q = 0, lm_t = 0;
+    uint8_t anchor5 = 0, anchor3 = 0;
+    float dH = 0, dS = 0;
+};
+
 // Device-computed, pre-screened seed list for one (oligo, strand) slot
 // (parallel/panel.py): the unique-diagonal seeds minus those the device
 // DP screen proved hit-free under (min_tm, max_dg, conc).  Only honored
@@ -322,6 +334,8 @@ struct VerdictSlot {
 struct SeedSlot {
     float min_tm = 0, max_dg = 0, conc = 0;
     std::vector<std::pair<int64_t, int64_t>> seeds;   // (q_off, t_pos)
+    // trusted device evaluations keyed by plus-strand window start
+    std::unordered_map<int64_t, EvalRec> evals;
 };
 
 struct CacheKey {
@@ -408,6 +422,7 @@ struct FragCtx {
     std::vector<HitRec> hits;    // results of the last search call
     int64_t align_bytes = 0;
     int64_t screened = 0, evaluated = 0;   // observability counters
+    int64_t dev_evaluated = 0;             // windows resolved by device eval
     // phase cycle counters (reference PROFILE analogue): index build,
     // seed enumeration, window extract+cache, DP, traceback+rescore,
     // sort/cull, pairing
@@ -611,6 +626,15 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
         auto vit = ctx.verdicts[minus ? 1 : 0].find(oligo);
         if (vit != ctx.verdicts[minus ? 1 : 0].end()) vs = &vit->second;
     }
+    // Device gapless evaluations for this slot (only under the exact
+    // proof conditions — same guard as the injected seed list)
+    const std::unordered_map<int64_t, EvalRec>* dev_evals = nullptr;
+    if (device_prescreened) {
+        auto iit = ctx.injected[minus ? 1 : 0].find(oligo);
+        if (iit != ctx.injected[minus ? 1 : 0].end()
+            && !iit->second.evals.empty())
+            dev_evals = &iit->second.evals;
+    }
 
     struct MissItem { Key key; std::vector<uint8_t> win; };
     std::vector<MissItem> misses;
@@ -653,6 +677,69 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
                     ++ctx.screened;
                     continue;
                 }
+            }
+        }
+        // Device-computed exact evaluation (ops/eval_gapless): build the
+        // same stage-truncated CacheVal store_result would, from the
+        // device's bit-exact dH/dS/anchors.  Windows that pass every
+        // filter still get the full host evaluation (they need the
+        // rendered alignment and extents), so only rejections ride the
+        // device numbers — a device false-accept costs work, never
+        // correctness.
+        if (dev_evals != nullptr) {
+            auto eit = dev_evals->find(kk.start);
+            if (eit != dev_evals->end() && (eit->second.flags & 1)) {
+                const EvalRec& er = eit->second;
+                const Engine& eng = *ctx.eng;
+                float tm = 0.0f, dgv = 0.0f, dSs = 0.0f;
+                bool have_vals = false;
+                if (er.flags & 2) {
+                    // engine would report tm = 0 (cleared alignment);
+                    // only usable when that rejects at stage 0
+                    if (!(filt.min_tm > 0.0f)) goto dev_eval_done;
+                    tm = 0.0f;
+                } else {
+                    // salt + Tm exactly as evaluate_alignment's tail
+                    dSs = er.dS;
+                    dSs += eng.t.SALT * (0.5f * er.num_base - 1)
+                        * log(eng.na);
+                    float tmv = er.dH
+                        / (NC_R * log(strand_conc) + dSs) - NC_ZERO_C;
+                    tm = std::max(0.0f, tmv);
+                    dgv = er.dH - eng.base_T * dSs;
+                    have_vals = true;
+                }
+                {
+                    const int q_aligned = have_vals
+                        ? (int)er.lm_q - (int)er.fm_q + 1 : 0;
+                    const int mm_tot = have_vals
+                        ? (int)er.mm + (window - q_aligned) : 0;
+                    int stage;
+                    if (tm < filt.min_tm || tm > filt.max_tm) stage = 0;
+                    else if (!have_vals) stage = 7;
+                    else if (dgv < filt.min_dg || dgv > filt.max_dg)
+                        stage = 1;
+                    else if ((int)er.anchor5 < filt.clamp_5) stage = 2;
+                    else if ((int)er.anchor3 < filt.clamp_3) stage = 3;
+                    else if (mm_tot > filt.max_mm) stage = 4;
+                    else if ((int)0 > filt.max_gap) stage = 5;
+                    else if ((int)0 > filt.max_poly_degen) stage = 6;
+                    else stage = 7;
+                    if (stage < 7) {
+                        CacheVal v;
+                        v.tm = tm;
+                        if (stage >= 1) v.dg = dgv;
+                        if (stage >= 2) v.anchor_5 = (int)er.anchor5;
+                        if (stage >= 3) v.anchor_3 = (int)er.anchor3;
+                        if (stage >= 4) v.num_mm = mm_tot;
+                        if (stage >= 5) v.num_gap = 0;
+                        if (stage >= 6) v.max_poly_degen = 0;
+                        cache.emplace(ck, std::move(v));
+                        ++ctx.dev_evaluated;
+                        continue;
+                    }
+                }
+            dev_eval_done:;
             }
         }
         MissItem mi;
@@ -1404,6 +1491,51 @@ void tnt_frag_stats(void* ctx_ptr, int64_t* screened, int64_t* evaluated)
     FragCtx& ctx = *(FragCtx*)ctx_ptr;
     *screened = ctx.screened;
     *evaluated = ctx.evaluated;
+}
+
+void tnt_frag_stats2(void* ctx_ptr, int64_t* dev_evaluated)
+{
+    *dev_evaluated = ((FragCtx*)ctx_ptr)->dev_evaluated;
+}
+
+// Attach device gapless-evaluation records to an injected seed slot
+// (must be called AFTER tnt_frag_set_seeds for the same slot).  Arrays
+// run parallel to the seed list; ev rows are the 5-word packed layout of
+// parallel/device_search.py (w0 flags/counts, w1 ranges, w2 anchors,
+// w3/w4 = f32 bit patterns of dH/dS).
+void tnt_frag_set_evals(void* ctx_ptr, const uint8_t* oligo_codes,
+                        int olen, int minus,
+                        const int32_t* q, const int32_t* t,
+                        const int32_t* w0, const int32_t* w1,
+                        const int32_t* w2, const int32_t* w3,
+                        const int32_t* w4, int64_t n)
+{
+    FragCtx& ctx = *(FragCtx*)ctx_ptr;
+    const std::vector<uint8_t>* oligo = ctx.intern.get(oligo_codes, olen);
+    auto it = ctx.injected[minus ? 1 : 0].find(oligo);
+    if (it == ctx.injected[minus ? 1 : 0].end()) return;
+    SeedSlot& ss = it->second;
+    const int64_t seq_size = (int64_t)ctx.seq.size();
+    for (int64_t i = 0; i < n; ++i) {
+        if (!(w0[i] & 1)) continue;        // untrusted -> host evaluates
+        int64_t start = t[i] - (q[i] + NUM_FLANK_BASE_C);
+        if (start < 0) start = 0;
+        EvalRec er;
+        er.flags = (uint8_t)(w0[i] & 3);
+        er.num_base = (uint8_t)((w0[i] >> 2) & 0xFF);
+        er.mm = (uint8_t)((w0[i] >> 10) & 0x3F);
+        er.align_len = (uint8_t)((w0[i] >> 16) & 0x3F);
+        er.fm_q = (uint8_t)(w1[i] & 0xFF);
+        er.fm_t = (uint8_t)((w1[i] >> 8) & 0xFF);
+        er.lm_q = (uint8_t)((w1[i] >> 16) & 0xFF);
+        er.lm_t = (uint8_t)((w1[i] >> 24) & 0xFF);
+        er.anchor5 = (uint8_t)(w2[i] & 0xFF);
+        er.anchor3 = (uint8_t)((w2[i] >> 8) & 0xFF);
+        std::memcpy(&er.dH, &w3[i], 4);
+        std::memcpy(&er.dS, &w4[i], 4);
+        (void)seq_size;
+        ss.evals.emplace(start, er);
+    }
 }
 
 // Phase cycle counters (rdtsc): [index, seed, extract, dp, tm, sort, pair]

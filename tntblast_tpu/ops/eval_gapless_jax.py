@@ -157,9 +157,10 @@ def eval_segment(M_rows, mg_max, tcodes, tabs):
     lastwc = jax.lax.cummax(jnp.where(wct, qs, -1), axis=1)
 
     f0 = jnp.float32(0.0)
-    T_all = np.stack([tabs["Hstk"], tabs["Sstk"], tabs["Hlt"],
-                      tabs["Slt"]], axis=2)   # (ql, 25, 4)
-    T_all = jnp.asarray(T_all)
+    T_all = jnp.stack(
+        [jnp.asarray(tabs["Hstk"]), jnp.asarray(tabs["Sstk"]),
+         jnp.asarray(tabs["Hlt"]), jnp.asarray(tabs["Slt"])],
+        axis=2)                               # (ql, 25, 4)
     loop2m = jnp.asarray(tabs["loop2m"])
 
     prev_wct = jnp.concatenate(

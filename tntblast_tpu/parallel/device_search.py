@@ -48,8 +48,11 @@ import jax
 import jax.numpy as jnp
 
 from tntblast_tpu import constants as C
+from tntblast_tpu.ops.eval_gapless_jax import eval_segment
 from tntblast_tpu.ops.thermo_dp import (
     NUM_T5, _relu, build_qpair_rows, build_t_canon)
+
+NEG_I32 = -(1 << 29)
 
 INT_MIN = -(1 << 31) + 1
 
@@ -156,15 +159,18 @@ def _slot_segment_caps(slot_meta, n_frags, tile_len, word_len):
     """Static per-slot segment capacities: ~2x the expected seed-diagonal
     count of the batch on random sequence, padded for variance."""
     caps = []
-    for (ol, minus, qp, n_words) in slot_meta:
+    for meta_s in slot_meta:
+        n_words = meta_s[3]
         expected = n_frags * tile_len * max(n_words, 1) >> (2 * word_len)
         caps.append(-(-(2 * expected + 512) // 256) * 256)
     return tuple(caps)
 
 
 def panel_step_core(frags, frag_lens, oligo_words, t_canon, thresholds,
-                    *, slot_meta, word_len, num_os, max_words, wq_max,
-                    tile_len, cap, kcap, num_cond, n_frags, full=False):
+                    t_canon_eval, eval_tabs, eval_loop2m,
+                    *, slot_meta, eval_const, word_len, num_os, max_words,
+                    wq_max, tile_len, cap, kcap, num_cond, n_frags,
+                    eval_on=False, full=False):
     """Device program: seeds + per-slot screening DP for a fragment batch.
 
     frags:       (n_frags, tile_len) uint8 db codes, padded DB_UNKNOWN
@@ -191,7 +197,11 @@ def panel_step_core(frags, frag_lens, oligo_words, t_canon, thresholds,
         [1+n : 1+n+num_os]       per-slot segment-overflow flags
         [... : ... + n]          per-fragment candidate counts
         [... : ... + n*num_os]   per-(fragment, slot) seed counts
-        [... : ... + 4*bkcap]    kept rows: flat_idx, slot, p, kmin
+        [... : ... + 9*bkcap]    kept rows: flat_idx, slot, p, kmin,
+                                 eval w0..w4 (packed flags/counts/ranges
+                                 and the f32 bit patterns of dH/dS from
+                                 the device gapless evaluator; zeros when
+                                 eval_on=False)
       slot/p/valid: (n_frags, cap) per-candidate arrays.
       keep/needs_host: pool-order per-candidate arrays when full=True
       (tests), all-zeros placeholders otherwise.
@@ -236,9 +246,14 @@ def panel_step_core(frags, frag_lens, oligo_words, t_canon, thresholds,
 
     frags_flat = frags.reshape(-1)
 
+    nc_all = num_cond + (1 if eval_on else 0)
+    tc_all = (jnp.concatenate([t_canon, t_canon_eval[None]], axis=0)
+              if eval_on else t_canon)
+
     # --- per-slot screening DP (unrolled; static shapes per slot) --------
-    keep_segs, nh_segs, segpos_segs = [], [], []
-    for s, (ol, minus, qp, n_words) in enumerate(slot_meta):
+    keep_segs, nh_segs, segpos_segs, ev_segs = [], [], [], []
+    for s, meta_s in enumerate(slot_meta):
+        (ol, minus, qp, n_words, q_codes) = meta_s
         Bs = seg_caps[s]
         wq_s = ol
         wt_s = ol + 2 * C.NUM_FLANK_BASE
@@ -250,10 +265,21 @@ def panel_step_core(frags, frag_lens, oligo_words, t_canon, thresholds,
 
         # static energy operand: T_slot[v, (r, c, e)] = t_canon[c, v, qp_r, e]
         qp_idx = jnp.asarray(qp, jnp.int32)               # (wq_s,)
-        Ts = t_canon[:, :, qp_idx, :]                     # (nc, 30, wq_s, 7)
+        Ts = tc_all[:, :, qp_idx, :]                      # (nc', 30, wq_s, 7)
         Ts = jnp.transpose(Ts, (1, 2, 0, 3)).reshape(
-            30, wq_s * num_cond * 7).astype(jnp.float32)
+            30, wq_s * nc_all * 7).astype(jnp.float32)
         thr_s = thresholds[:, s]                          # (nc,)
+        if eval_on:
+            tabs_s = {
+                "Hstk": eval_tabs[s, :ol, :, 0],
+                "Sstk": eval_tabs[s, :ol, :, 1],
+                "Hlt": eval_tabs[s, :ol, :, 2],
+                "Slt": eval_tabs[s, :ol, :, 3],
+                "loop2m": eval_loop2m[s, :ol + 1],
+                "AT_H": eval_const[0], "AT_S": eval_const[1],
+                "init_H": eval_const[2], "init_S": eval_const[3],
+                "q": q_codes,
+            }
 
         def run_seg(args, *, Bs=Bs, wq_s=wq_s, wt_s=wt_s, minus=minus,
                     ol=ol, s=s):
@@ -285,14 +311,15 @@ def panel_step_core(frags, frag_lens, oligo_words, t_canon, thresholds,
                            precision=jax.lax.Precision.HIGHEST,
                            preferred_element_type=jnp.float32)
             E = jnp.round(E).astype(jnp.int32).reshape(
-                Bs, wt_s, wq_s, num_cond, 7)
-            E = jnp.moveaxis(E, 2, 0)                 # (wq, Bs, wt, nc, 7)
-            E = jnp.moveaxis(E, 3, 1)                 # (wq, nc, Bs, wt, 7)
+                Bs, wt_s, wq_s, nc_all, 7)
+            E = jnp.moveaxis(E, 2, 0)                 # (wq, Bs, wt, nc', 7)
+            E = jnp.moveaxis(E, 3, 1)                 # (wq, nc', Bs, wt, 7)
 
-            neg1 = jnp.full((num_cond, Bs, wt_s + 1), -1, jnp.int32)
+            neg1 = jnp.full((nc_all, Bs, wt_s + 1), -1, jnp.int32)
+            negg = jnp.full((Bs, wt_s + 1), NEG_I32, jnp.int32)
 
             def row_step(carry, e):
-                prevM, prevIq, prevIt, best = carry
+                prevM, prevIq, prevIt, best, prevMg, mgmax = carry
                 dgmm, dgmq, dgmt = e[..., 0], e[..., 1], e[..., 2]
                 dgqi, dgqe = e[..., 3], e[..., 4]
                 dgti, dgte = e[..., 5], e[..., 6]
@@ -303,31 +330,73 @@ def panel_step_core(frags, frag_lens, oligo_words, t_canon, thresholds,
                 it = jnp.maximum(_relu(prevM[..., 1:]) - dgti,
                                  _relu(prevIt[..., 1:]) - dgte)
                 m_shift = jnp.concatenate(
-                    [jnp.full((num_cond, Bs, 1), -1, jnp.int32),
+                    [jnp.full((nc_all, Bs, 1), -1, jnp.int32),
                      m[..., :-1]], axis=2)
                 a = jnp.maximum(_relu(m_shift) - dgqi, -dgqe)
                 ssum = jnp.cumsum(dgqe, axis=2)
                 iq = jax.lax.cummax(a + ssum, axis=2) - ssum
                 best = jnp.maximum(best, jnp.max(m, axis=2))
                 z = neg1[..., :1]
-                return (jnp.concatenate([z, m], 2),
-                        jnp.concatenate([z, iq], 2),
-                        jnp.concatenate([z, it], 2), best), None
+                newM = jnp.concatenate([z, m], 2)
+                newIq = jnp.concatenate([z, iq], 2)
+                newIt = jnp.concatenate([z, it], 2)
+                if eval_on:
+                    # gapped-best channel of the EVAL condition: best
+                    # M-state score among paths with >= 1 gap transition
+                    # (no relu restart - that would begin a new gapless
+                    # path); feeds the eval trust decision
+                    g1 = jnp.where(prevMg[:, :-1] >= 0,
+                                   prevMg[:, :-1] - dgmm[-1], NEG_I32)
+                    mg = jnp.maximum(
+                        jnp.maximum(g1,
+                                    _relu(prevIq[-1, :, :-1]) - dgmq[-1]),
+                        _relu(prevIt[-1, :, :-1]) - dgmt[-1])
+                    newMg = jnp.concatenate([negg[:, :1], mg], 1)
+                    mgmax = jnp.maximum(mgmax, jnp.max(mg, axis=1))
+                    ys = newM[-1]
+                else:
+                    newMg = prevMg
+                    ys = jnp.zeros((Bs, wt_s + 1), jnp.int32)
+                return (newM, newIq, newIt, best, newMg, mgmax), ys
 
             init = (neg1, neg1, neg1,
-                    jnp.full((num_cond, Bs), -1, jnp.int32))
-            (_, _, _, best), _ = jax.lax.scan(row_step, init, E)
+                    jnp.full((nc_all, Bs), -1, jnp.int32),
+                    negg, jnp.full((Bs,), NEG_I32, jnp.int32))
+            (_, _, _, best, _, mgmax), M_rows = jax.lax.scan(
+                row_step, init, E)
 
             keep = jnp.ones(Bs, dtype=bool)
             for c in range(num_cond):
                 keep = keep & ((best[c] >= thr_s[c])
                                | (thr_s[c] == INT_MIN))
-            return (keep | needs_host) & seg_valid, needs_host & seg_valid
+
+            if eval_on:
+                ev = eval_segment(M_rows, mgmax, tb5, tabs_s)
+                trusted = ev["trusted"] & ~needs_host & seg_valid
+                w0 = (trusted.astype(jnp.int32)
+                      | (ev["tm_zero"].astype(jnp.int32) << 1)
+                      | (jnp.clip(ev["num_base"], 0, 255) << 2)
+                      | (jnp.clip(ev["mm"], 0, 63) << 10)
+                      | (jnp.clip(ev["align_len"], 0, 63) << 16))
+                w1 = ((ev["fm_q"] & 0xFF)
+                      | ((ev["fm_t"] & 0xFF) << 8)
+                      | ((ev["lm_q"] & 0xFF) << 16)
+                      | ((ev["lm_t"] & 0xFF) << 24))
+                w2 = ((ev["anchor5"] & 0xFF)
+                      | ((ev["anchor3"] & 0xFF) << 8))
+                w3 = ev["dH"].view(jnp.int32)
+                w4 = ev["dS"].view(jnp.int32)
+                evw = jnp.stack([w0, w1, w2, w3, w4], axis=1)
+            else:
+                evw = jnp.zeros((Bs, 5), jnp.int32)
+            return ((keep | needs_host) & seg_valid,
+                    needs_host & seg_valid, evw)
 
         def skip_seg(args, *, Bs=Bs):
-            return jnp.zeros(Bs, bool), jnp.zeros(Bs, bool)
+            return (jnp.zeros(Bs, bool), jnp.zeros(Bs, bool),
+                    jnp.zeros((Bs, 5), jnp.int32))
 
-        keep_s, nh_s = jax.lax.cond(
+        keep_s, nh_s, ev_s = jax.lax.cond(
             cnt_s > 0, run_seg, skip_seg,
             (pp, fi, seg_valid, Ts, thr_s))
         # an overflowed slot contributes nothing (host fallback)
@@ -335,15 +404,18 @@ def panel_step_core(frags, frag_lens, oligo_words, t_canon, thresholds,
             keep_s = keep_s & (slot_counts[s] <= seg_caps[s])
         keep_segs.append(keep_s)
         nh_segs.append(nh_s)
+        ev_segs.append(ev_s)
         segpos_segs.append(start_s + jnp.arange(Bs, dtype=jnp.int32))
 
     if keep_segs:
         keep_all = jnp.concatenate(keep_segs)
         nh_all = jnp.concatenate(nh_segs)
+        ev_all = jnp.concatenate(ev_segs)
         segpos_all = jnp.concatenate(segpos_segs)
     else:
         keep_all = jnp.zeros(1, bool)
         nh_all = jnp.zeros(1, bool)
+        ev_all = jnp.zeros((1, 5), jnp.int32)
         segpos_all = jnp.zeros(1, jnp.int32)
 
     # --- kept-seed compaction + kmin recomputation -----------------------
@@ -371,12 +443,14 @@ def panel_step_core(frags, frag_lens, oligo_words, t_canon, thresholds,
     kmin_k = jnp.min(jnp.where(match, kk, max_words), axis=1)
     kmin_k = jnp.where(kv, kmin_k, 0)
 
+    ev_k = jnp.where(kv[:, None], ev_all[ks], 0)
     packed = jnp.concatenate([
         n_kept[None], overflow.astype(jnp.int32),
         jnp.zeros(num_os, jnp.int32).at[:n_real].set(
             slot_over.astype(jnp.int32)),
         n_cand, counts.reshape(-1),
-        pool_idx.astype(jnp.int32), os_k, p_k, kmin_k])
+        pool_idx.astype(jnp.int32), os_k, p_k, kmin_k,
+        ev_k[:, 0], ev_k[:, 1], ev_k[:, 2], ev_k[:, 3], ev_k[:, 4]])
 
     if full:
         # pool-order keep/needs_host (tests): scatter through the sort
@@ -397,18 +471,27 @@ def panel_step_core(frags, frag_lens, oligo_words, t_canon, thresholds,
 class DevicePanel:
     """Host-side wrapper: packs an oligo panel once, runs fragment batches."""
 
-    def __init__(self, panel, config, dg_tables, thresholds):
+    def __init__(self, panel, config, dg_tables, thresholds,
+                 eval_dg=None, thermo_tables=None):
         """panel: list of dicts with keys
              words (int64[], compacted, scan order), codes (uint8[] melt),
              minus (bool)
            dg_tables: (num_cond, 2401) int32
            thresholds: (num_cond, len(panel)) int32 (INT_MIN = condition off)
+           eval_dg/thermo_tables: delta_g at the ENGINE temperature and
+             the santa_lucia parameter set — enable the on-device gapless
+             evaluator (omit to run the screen only)
         """
         cfg = config
         self.config = cfg
         self.n_real = len(panel)
+        self.eval_on = eval_dg is not None and thermo_tables is not None
         ow = np.full((cfg.num_os, cfg.max_words), -1, dtype=np.int32)
         meta = []
+        ev_tabs = np.zeros((cfg.num_os, cfg.wq_max, 25, 4),
+                           dtype=np.float32)
+        ev_loop = np.zeros((cfg.num_os, cfg.wq_max + 2), dtype=np.float32)
+        eval_const = (0.0, 0.0, 0.0, 0.0)
         for i, o in enumerate(panel):
             nw = len(o["words"])
             ow[i, :nw] = o["words"]
@@ -416,13 +499,31 @@ class DevicePanel:
             qpr = build_qpair_rows(codes[None, :], [len(codes)],
                                    wq=len(codes))[0]
             meta.append((int(len(codes)), bool(o["minus"]),
-                         tuple(int(v) for v in qpr), nw))
+                         tuple(int(v) for v in qpr), nw,
+                         tuple(int(v) for v in codes)))
+            if self.eval_on:
+                from tntblast_tpu.ops.eval_gapless_jax import (
+                    build_slot_eval_arrays)
+                tabs = build_slot_eval_arrays(codes, thermo_tables)
+                ql = len(codes)
+                ev_tabs[i, :ql, :, 0] = tabs["Hstk"]
+                ev_tabs[i, :ql, :, 1] = tabs["Sstk"]
+                ev_tabs[i, :ql, :, 2] = tabs["Hlt"]
+                ev_tabs[i, :ql, :, 3] = tabs["Slt"]
+                ev_loop[i, :ql + 1] = tabs["loop2m"]
+                eval_const = (float(tabs["AT_H"]), float(tabs["AT_S"]),
+                              float(tabs["init_H"]), float(tabs["init_S"]))
         self.slot_meta = tuple(meta)
+        self.eval_const = eval_const
         thr = np.full((cfg.num_cond, cfg.num_os), INT_MIN, dtype=np.int32)
         thr[:, :self.n_real] = thresholds
         tcan = np.stack([build_t_canon(dg_tables[c])
                          for c in range(cfg.num_cond)])
-        self.args = (jnp.asarray(ow), jnp.asarray(tcan), jnp.asarray(thr))
+        tcan_eval = (build_t_canon(eval_dg) if self.eval_on
+                     else np.zeros((30, 30, 7), np.int32))
+        self.args = (jnp.asarray(ow), jnp.asarray(tcan), jnp.asarray(thr),
+                     jnp.asarray(tcan_eval), jnp.asarray(ev_tabs),
+                     jnp.asarray(ev_loop))
         self._steps = {}
 
     def _step(self, n_frags, full):
@@ -431,11 +532,12 @@ class DevicePanel:
             cfg = self.config
             fn = jax.jit(functools.partial(
                 panel_step_core,
-                slot_meta=self.slot_meta, word_len=cfg.word_len,
+                slot_meta=self.slot_meta, eval_const=self.eval_const,
+                word_len=cfg.word_len,
                 num_os=cfg.num_os, max_words=cfg.max_words,
                 wq_max=cfg.wq_max, tile_len=cfg.tile_len, cap=cfg.cap,
                 kcap=cfg.kcap, num_cond=cfg.num_cond, n_frags=n_frags,
-                full=full))
+                eval_on=self.eval_on, full=full))
             self._steps[(n_frags, full)] = fn
         return fn
 
@@ -473,7 +575,7 @@ class DevicePanel:
         o += n
         counts = packed[o:o + n * cfg.num_os].reshape(n, cfg.num_os)
         o += n * cfg.num_os
-        kept = packed[o:].reshape(4, bkcap)
+        kept = packed[o:].reshape(9, bkcap)
         return n_kept, overflow, slot_over, n_cand, counts, kept
 
     def resolve_fragments(self, pending):
@@ -489,6 +591,7 @@ class DevicePanel:
         m = min(n_kept, bkcap)
         flat_idx, os_k, p_k, kmin_k = (kept[0][:m], kept[1][:m],
                                        kept[2][:m], kept[3][:m])
+        evw = kept[4:9, :m]
         frag_of = flat_idx // cfg.cap
         kept_over = n_kept > bkcap
         results = []
@@ -497,6 +600,7 @@ class DevicePanel:
             ci = counts[i][:self.n_real]
             results.append({
                 "os_k": os_k[sel], "p_k": p_k[sel], "kmin_k": kmin_k[sel],
+                "eval": evw[:, sel] if self.eval_on else None,
                 "counts": ci, "n_kept": int(sel.sum()),
                 "slot_overflow": slot_over[:self.n_real],
                 "overflow": bool(overflow[i]) or kept_over,

@@ -45,20 +45,21 @@ def make_mesh(devices=None, axis_name="data"):
 
 
 def build_sharded_step(mesh, cfg: PanelConfig, n_local, slot_meta,
-                       axis_name="data", full=False):
+                       eval_const, eval_on, axis_name="data", full=False):
     """jit-compiled SPMD step: (n_dev * n_local, tile_len) fragments
     sharded over the mesh; each device runs the pooled panel step on its
     local shard, and every output is all_gathered (replicated) so the
     coordinator host resolves one buffer per device."""
     step = functools.partial(
         panel_step_core,
-        slot_meta=slot_meta, word_len=cfg.word_len, num_os=cfg.num_os,
+        slot_meta=slot_meta, eval_const=eval_const,
+        word_len=cfg.word_len, num_os=cfg.num_os,
         max_words=cfg.max_words, wq_max=cfg.wq_max, tile_len=cfg.tile_len,
         cap=cfg.cap, kcap=cfg.kcap, num_cond=cfg.num_cond,
-        n_frags=n_local, full=full)
+        n_frags=n_local, eval_on=eval_on, full=full)
 
-    def local_shard(frags, frag_lens, ow, tcan, thr):
-        out = step(frags, frag_lens, ow, tcan, thr)
+    def local_shard(frags, frag_lens, ow, tcan, thr, tce, evt, evl):
+        out = step(frags, frag_lens, ow, tcan, thr, tce, evt, evl)
         # one collective per output: device blocks stacked in mesh order
         return tuple(jax.lax.all_gather(x, axis_name, axis=0)
                      for x in out)
@@ -66,7 +67,8 @@ def build_sharded_step(mesh, cfg: PanelConfig, n_local, slot_meta,
     n_out = 6
     sharded = jax.shard_map(
         local_shard, mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(), P(), P()),
+        in_specs=(P(axis_name), P(axis_name), P(), P(), P(),
+                  P(), P(), P()),
         out_specs=tuple(P() for _ in range(n_out)),
         # the DP scan's carry-init constants are unvarying on the data
         # axis by construction; skip the varying-manual-axes check
@@ -83,9 +85,11 @@ class MeshPanel(DevicePanel):
     order — the same contract as DevicePanel, batched.
     """
 
-    def __init__(self, panel, config, dg_tables, thresholds, mesh=None,
+    def __init__(self, panel, config, dg_tables, thresholds,
+                 eval_dg=None, thermo_tables=None, mesh=None,
                  axis_name="data"):
-        super().__init__(panel, config, dg_tables, thresholds)
+        super().__init__(panel, config, dg_tables, thresholds,
+                         eval_dg=eval_dg, thermo_tables=thermo_tables)
         self.mesh = mesh if mesh is not None else make_mesh()
         self.axis_name = axis_name
         self.n_dev = self.mesh.devices.size
@@ -113,8 +117,8 @@ class MeshPanel(DevicePanel):
         step = self._steps.get((n_local, full))
         if step is None:
             step = self._steps[(n_local, full)] = build_sharded_step(
-                self.mesh, cfg, n_local, self.slot_meta, self.axis_name,
-                full=full)
+                self.mesh, cfg, n_local, self.slot_meta, self.eval_const,
+                self.eval_on, self.axis_name, full=full)
         frags_d = jax.device_put(frags, self._data_sharding)
         lens_d = jax.device_put(lens, self._data_sharding)
         if self._args_d is None:

@@ -91,7 +91,10 @@ def collect_slots(opt):
 class PanelGroup:
     """<= MAX_SLOTS slots sharing one set of screening conditions."""
 
-    def __init__(self, items, screen, word_len):
+    def __init__(self, items, screen, word_len, eval_dg=None,
+                 thermo_tables=None):
+        self.eval_dg = eval_dg
+        self.thermo_tables = thermo_tables
         self.keys = [k for k, _ in items]
         self.slots = [v for _, v in items]
         self.word_len = word_len
@@ -152,13 +155,17 @@ class PanelGroup:
                 # no screening conditions -> everything is "kept"; the
                 # compacted list must hold every candidate
                 kcap=cap if not self.cond_ts else None)
+            ev_kw = {}
+            if self.eval_dg is not None:
+                ev_kw = dict(eval_dg=self.eval_dg,
+                             thermo_tables=self.thermo_tables)
             if mesh is not None:
                 from tntblast_tpu.parallel.mesh import MeshPanel
                 dp = MeshPanel(self.panel, cfg, self.dg_tables,
-                               self.thresholds, mesh=mesh)
+                               self.thresholds, mesh=mesh, **ev_kw)
             else:
                 dp = DevicePanel(self.panel, cfg, self.dg_tables,
-                                 self.thresholds)
+                                 self.thresholds, **ev_kw)
             self._panels[tile_len] = dp
         return dp
 
@@ -191,8 +198,21 @@ class FragmentPanelManager:
             env = _os.environ.get("TNTBLAST_TPU_BATCH")
             self.batch = int(env) if env else self.SINGLE_CHIP_BATCH
         items = collect_slots(opt)
+        # device gapless evaluation: only sound with dangling ends off
+        # (the evaluator does not model the dangle/frayed attachment,
+        # ops/eval_gapless.py) and outside Dinkelbach mode (the reported
+        # alignment is re-scored at varying T there)
+        ev_dg = None
+        ev_tabs = None
+        if (not (opt.allow_dangle_5 or opt.allow_dangle_3)
+                and not opt.use_dinkelbach
+                and _os.environ.get("TNTBLAST_TPU_DEV_EVAL", "1") != "0"):
+            ev_dg = np.ascontiguousarray(
+                engine.delta_g().astype(np.int32).reshape(-1))
+            ev_tabs = engine._tables
         self.groups = [
-            PanelGroup(items[i:i + MAX_SLOTS], self.screen, self.word_len)
+            PanelGroup(items[i:i + MAX_SLOTS], self.screen, self.word_len,
+                       eval_dg=ev_dg, thermo_tables=ev_tabs)
             for i in range(0, len(items), MAX_SLOTS)]
         self.stats = {"fragments": 0, "seeds": 0, "kept": 0, "fallback": 0}
         # stats are bumped from concurrent batch-resolve threads
@@ -268,6 +288,7 @@ class FragmentPanelManager:
         p = res["p_k"].astype(np.int64)
         kmin = res["kmin_k"].astype(np.int64)
         counts = res["counts"]
+        evw = res.get("eval")
         slot_over = res.get("slot_overflow")
         n_fb = 0
         with self.stats_lock:
@@ -282,7 +303,8 @@ class FragmentPanelManager:
             # delta = -p (reference sort_by_delta)
             q = kmin[sel][::-1]
             t = (p[sel] + kmin[sel])[::-1]
-            out[key] = (q, t, int(counts[i]) - int(sel.sum()))
+            ev = evw[:, sel][:, ::-1] if evw is not None else None
+            out[key] = (q, t, int(counts[i]) - int(sel.sum()), ev)
         if n_fb:
             with self.stats_lock:
                 self.stats["fallback"] += n_fb

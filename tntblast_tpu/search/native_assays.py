@@ -26,11 +26,17 @@ class NativeFragContext:
             # Inject the device-computed, pre-screened seed lists
             # (parallel/panel.py): the native search skips both host
             # seeding and the exact evaluation of screened-out windows
-            # for every slot present.
-            for key, (q, t, n_screened) in panel_result.items():
+            # for every slot present.  Trusted gapless evaluations ride
+            # along (tnt_frag_set_evals): the native search then skips
+            # the DP + traceback + exact re-scoring for those windows
+            # too, re-evaluating in full only filter-passing survivors.
+            for key, (q, t, n_screened, ev) in panel_result.items():
                 oligo, minus, min_tm, max_dg, conc = key
-                self.frag.set_seeds(_codes(oligo), minus, min_tm, max_dg,
+                codes = _codes(oligo)
+                self.frag.set_seeds(codes, minus, min_tm, max_dg,
                                     conc, q, t, n_screened)
+                if ev is not None and len(q):
+                    self.frag.set_evals(codes, minus, q, t, ev)
 
     def close(self):
         self.frag.close()
