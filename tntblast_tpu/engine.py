@@ -325,7 +325,8 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
             prev[1].close()
         ctx = NativeFragContext(engine, seq_codes, opt.hash_word_size,
                                 defline, panel_result=panel_result)
-        ctx.stats_seen = {"evaluated": 0, "screened": 0}
+        ctx.stats_seen = {"evaluated": 0, "screened": 0,
+                          "dev_evaluated": 0}
         ctx.phases_seen = {}
         tlocal.entry = (key, ctx)
         return ctx

@@ -39,9 +39,17 @@ import sys
 import time
 
 
+# Gather chunk size: bounds the peak allgather buffer at
+# num_procs * GATHER_CHUNK bytes regardless of hit-list size — the
+# analogue of the reference master's 1000-query SIGNATURE_RESULTS chunks
+# (tntblast_master.cpp:760-849).
+GATHER_CHUNK = 4 << 20
+
+
 def _gather_blobs(payload, num_processes):
     """All-gather arbitrary per-process payloads as padded byte arrays
-    (the SIGNATURE_RESULTS analogue; fixed-layout across processes)."""
+    (the SIGNATURE_RESULTS analogue), in fixed-size chunks so a giant
+    hit list never materializes num_procs copies at once."""
     import numpy as np
     from jax.experimental import multihost_utils as mhu
 
@@ -49,11 +57,23 @@ def _gather_blobs(payload, num_processes):
     sizes = mhu.process_allgather(np.array([blob.size], dtype=np.int64))
     sizes = np.asarray(sizes).reshape(num_processes)
     cap = int(sizes.max())
-    buf = np.zeros(cap, dtype=np.uint8)
-    buf[:blob.size] = blob
-    all_bufs = np.asarray(mhu.process_allgather(buf)).reshape(
-        num_processes, cap)
-    return [pickle.loads(all_bufs[p, :sizes[p]].tobytes())
+    rounds = max(1, -(-cap // GATHER_CHUNK))
+    parts = [[] for _ in range(num_processes)]
+    for r in range(rounds):
+        lo = r * GATHER_CHUNK
+        hi = min(lo + GATHER_CHUNK, cap)
+        buf = np.zeros(hi - lo, dtype=np.uint8)
+        if lo < blob.size:
+            n = min(hi, blob.size) - lo
+            buf[:n] = blob[lo:lo + n]
+        got = np.asarray(mhu.process_allgather(buf)).reshape(
+            num_processes, hi - lo)
+        for p in range(num_processes):
+            take = min(max(int(sizes[p]) - lo, 0), hi - lo)
+            if take:
+                parts[p].append(got[p, :take])
+    return [pickle.loads(np.concatenate(parts[p]).tobytes()
+                         if parts[p] else b"")
             for p in range(num_processes)]
 
 
@@ -61,10 +81,38 @@ def _search_shard(opt, db, engine, process_id, num_processes):
     """Search this process's work items; returns
     (items_payload, fragment_target, profile) where items_payload is a
     list of (item_idx, [(sig_id, kept_hits)...]) — mirrors the reference
-    worker loop (tntblast_worker.cpp:138-471)."""
+    worker loop (tntblast_worker.cpp:138-471).
+
+    Like the single-host driver, each process drives its OWN local
+    accelerator(s) through the fragment panel (health-gated): the
+    TPU-pod topology is one process per host with that host's chips
+    doing the seeding/screening/evaluation for its work items — the
+    reference worker's compute role (tntblast_worker.cpp:200-361) mapped
+    onto process-local devices.
+    """
+    import sys as _sys
+
     from tntblast_tpu import engine as eng
     from tntblast_tpu.search.native_assays import (
         NativeFragContext, search_assay)
+
+    panel_mgr = None
+    if (getattr(opt, "tpu_screen", False) or getattr(opt, "tpu_frag", False)
+            or getattr(opt, "use_mesh", False)):
+        from tntblast_tpu.devhealth import device_health
+        ok, platform, reason = device_health()
+        if not ok:
+            _sys.stderr.write(
+                f"Warning: device path disabled on process {process_id} "
+                f"({platform}: {reason}); running host search\n")
+        else:
+            from tntblast_tpu.parallel.panel import FragmentPanelManager
+            mesh = None
+            if getattr(opt, "use_mesh", False):
+                from tntblast_tpu.parallel.mesh import make_mesh
+                import jax
+                mesh = make_mesh(jax.local_devices())
+            panel_mgr = FragmentPanelManager(opt, engine, mesh=mesh)
 
     items, fragment_target = eng._fragment_work_items(opt, db)
     payload = []
@@ -76,8 +124,12 @@ def _search_shard(opt, db, engine, process_id, num_processes):
         target_len = len(seq_codes)
         if target_len < opt.hash_word_size:
             continue
+        panel_result = None
+        if panel_mgr is not None and not panel_mgr.dead:
+            panel_result = panel_mgr.resolve_safe(
+                panel_mgr.submit(seq_codes))
         ctx = NativeFragContext(engine, seq_codes, opt.hash_word_size,
-                                defline)
+                                defline, panel_result=panel_result)
         per_sig = []
         for sig in opt.sig_list:
             kept = []
@@ -182,22 +234,40 @@ def distributed_main(argv, process_id, num_processes, coordinator,
                         kept + state.search_results[sig_id])
 
         # Output stream binding, identical to the local driver
-        # (cli.local_main / reference tntblast_local.cpp:72-133).
+        # (cli.local_main / reference tntblast_local.cpp:72-133),
+        # including -n T (one output file per query) on the root.
         fout = fout_sif = fout_atr = None
         if opt.output_filename:
-            if opt.output_format & (C.OUTPUT_STANDARD | C.OUTPUT_FASTA):
-                fout = open(opt.output_filename, "w")
+            if not opt.one_output_file_per_query:
+                if opt.output_format & (C.OUTPUT_STANDARD | C.OUTPUT_FASTA):
+                    fout = open(opt.output_filename, "w")
+                if opt.output_format & C.OUTPUT_NETWORK:
+                    fout_sif = open(opt.output_filename + ".sif", "w")
             if opt.output_format & C.OUTPUT_NETWORK:
-                fout_sif = open(opt.output_filename + ".sif", "w")
                 fout_atr = open(opt.output_filename + ".atr", "w")
                 fout_atr.write("FunctionalCatagory\n")
             if opt.output_format & (C.OUTPUT_INVERSE_TARGET
                                     | C.OUTPUT_INVERSE_QUERY):
                 fout = open(opt.output_filename, "w")
+
+        def open_per_query(name):
+            nonlocal fout, fout_sif
+            if opt.output_format & (C.OUTPUT_STANDARD | C.OUTPUT_FASTA):
+                if fout is not None:
+                    fout.close()
+                fout = open(opt.output_filename + "." + name, "w")
+            if opt.output_format & C.OUTPUT_NETWORK:
+                if fout_sif is not None:
+                    fout_sif.close()
+                fout_sif = open(opt.output_filename + "." + name + ".sif",
+                                "w")
+            return (fout if fout is not None else stdout), fout_sif
+
         out.write_results(opt, state, db, stdout=stdout,
                           out_stream=fout if fout is not None else stdout,
                           sif_stream=fout_sif, atr_stream=fout_atr,
-                          open_per_query=None)
+                          open_per_query=open_per_query
+                          if opt.one_output_file_per_query else None)
         if opt.verbose:
             stdout.write(
                 f"Search completed in {int(time.time() - profile)} sec\n")
