@@ -17,7 +17,11 @@ GOLD = HERE / "golden" / "e2e"
 # Subset covering all assay modes + fragmentation + degenerates; running
 # all 15 under jit-on-CPU is slow, these exercise every screen path.
 CONFIGS = ["probe_small", "probe_dg", "pcr_small", "pcr_lowtm", "taqman",
-           "degen", "padlock", "mips", "pcr_frag", "pcr_dinkelbach"]
+           "degen", "padlock", "mips", "pcr_frag", "pcr_dinkelbach",
+           # forced query segmentation + device panel: the engine takes
+           # the sequential loop (engine.run_search) with one device
+           # submission per fragment shared across the query axis
+           "query_seg", "query_seg_frag"]
 
 
 @pytest.mark.parametrize("mode", ["--tpu-screen", "--tpu-frag"])
