@@ -172,3 +172,56 @@ def test_v5_search_matches_reference_golden(tmp_path, monkeypatch):
     assert ret == 0
     want = (HERE / "golden" / "e2e" / "pcr_small.out").read_text()
     assert out.read_text() == want
+
+
+def test_lmdb_reader_robust_to_corruption(tmp_path):
+    """VERDICT r3 #6 (second half): a malformed LMDB file must raise
+    LmdbError (or return the documented miss), never crash with an
+    arbitrary exception or silently misread.  Stock-liblmdb fixtures
+    cannot be generated on this box (no liblmdb/makeblastdb, zero
+    egress), so robustness against structural damage is the achievable
+    cross-check: truncations at every boundary and bit flips across the
+    whole file."""
+    import numpy as np
+
+    from tntblast_tpu.io.lmdb import LmdbEnv, LmdbError, write_env
+
+    path = tmp_path / "fuzz.lmdb"
+    items = {f"key{i:03d}".encode(): (b"v" * (7 * i + 1))
+             for i in range(50)}
+    write_env(str(path), {"sub": items})
+    blob = path.read_bytes()
+
+    # sanity: pristine file reads back fully
+    env = LmdbEnv(str(path))
+    got = dict(env.items(db="sub"))
+    assert got == items
+
+    rng = np.random.default_rng(5)
+    fuzz = tmp_path / "fuzzed.lmdb"
+
+    # truncations: at page boundaries and at random offsets
+    cuts = [0, 1, 4095, 4096, 8191, 8192, len(blob) // 2, len(blob) - 1]
+    cuts += [int(rng.integers(0, len(blob))) for _ in range(20)]
+    for cut in cuts:
+        fuzz.write_bytes(blob[:cut])
+        try:
+            env = LmdbEnv(str(fuzz))
+            for k, v in env.items(db="sub"):
+                assert isinstance(k, bytes) and isinstance(v, bytes)
+        except LmdbError:
+            pass   # loud, typed failure is the contract
+
+    # bit flips
+    for _ in range(60):
+        b = bytearray(blob)
+        pos = int(rng.integers(0, len(b)))
+        b[pos] ^= 1 << int(rng.integers(0, 8))
+        fuzz.write_bytes(bytes(b))
+        try:
+            env = LmdbEnv(str(fuzz))
+            for k, v in env.items(db="sub"):
+                assert isinstance(k, bytes) and isinstance(v, bytes)
+            env.get(b"key007", db="sub")
+        except LmdbError:
+            pass

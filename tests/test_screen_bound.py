@@ -1,0 +1,112 @@
+"""Constructive screening-slack bound (screen_bound.py): the computed
+per-family maxima, the end-to-end invariant over adversarial windows,
+and the demonstration that the OLD corpus-fitted constants were unsound
+(the bug that motivated the screening-table redesign)."""
+
+import numpy as np
+import pytest
+
+from tntblast_tpu import native
+from tntblast_tpu.screen_bound import slack_bound
+
+TS = (283.15, 310.15, 313.15, 333.15, 353.15)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return native.MeltEngine(n_threads=1)
+
+
+def test_bound_values_small(engine):
+    """The constructive bound must stay far below the 1.0 constant the
+    native host screen uses (frag_search.cpp)."""
+    for T in TS:
+        for dangle in (False, True):
+            b = slack_bound(engine, T, dangle)
+            assert 0 <= b <= 0.9, (T, dangle, b)
+
+
+def _adversarial_windows(rng, n):
+    """Anchored mismatch clusters + random junk: the class that broke the
+    old bound (gap-routed cluster crossings)."""
+    cases = []
+    for _ in range(n):
+        anchor = int(rng.integers(6, 14))
+        m = int(rng.integers(0, 11))
+        q = rng.integers(0, 4, 2 * anchor + m).astype(np.uint8)
+        t = (3 - q).astype(np.uint8)
+        for k in range(anchor, anchor + m):
+            choices = [c for c in range(4) if c != 3 - q[k]]
+            t[k] = choices[rng.integers(0, len(choices))]
+        # extra scattered mutations
+        for _ in range(int(rng.integers(0, 4))):
+            pos = int(rng.integers(0, len(t)))
+            t[pos] = rng.integers(0, 4)
+        cases.append((q, t[::-1].copy()))
+    return cases
+
+
+def test_invariant_screen_dp_vs_exact(engine):
+    """screen_dp(T) - exact(A*, T) <= slack for the reported alignment,
+    over adversarial + random windows at several temperatures.  This is
+    the exact soundness condition the screen relies on
+    (docs/screen_bound.md); the OLD real-table screen violates it (see
+    test_old_screen_constants_were_unsound)."""
+    from tntblast_tpu.ops.thermo_dp import dp_max_score
+
+    rng = np.random.default_rng(3)
+    cases = _adversarial_windows(rng, 120)
+    qs = [q for q, _ in cases]
+    ts = [t for _, t in cases]
+    ref = engine.eval_batch(native.HETERO, qs, ts,
+                            np.full(len(cases), 9e-7, dtype=np.float32))
+
+    for T in (310.15, 313.15, 333.15):
+        dg_scr = engine.delta_g_screen(np.float32(T)).astype(
+            np.int32).reshape(-1)
+        slack = slack_bound(engine, T, False)
+        wq = max(len(q) for q in qs)
+        wt = max(len(t) for t in ts)
+        qc = np.zeros((len(cases), wq), np.int32)
+        ql = np.zeros(len(cases), np.int32)
+        tc = np.zeros((len(cases), wt), np.int32)
+        tl = np.zeros(len(cases), np.int32)
+        for i, (q, t) in enumerate(cases):
+            qc[i, :len(q)] = q
+            ql[i] = len(q)
+            tc[i, :len(t)] = t
+            tl[i] = len(t)
+        score = np.asarray(dp_max_score(qc, ql, tc, tl, dg_scr,
+                                        wq=wq, wt=wt))
+        for i in range(len(cases)):
+            if not ref["valid"][i]:
+                continue
+            screen_dp_dg = -float(score[i]) / 10000.0
+            exact = float(ref["dH"][i]) - T * float(ref["dS"][i])
+            assert screen_dp_dg - exact <= slack + 1e-6, (
+                i, T, screen_dp_dg, exact, slack)
+
+
+def test_old_screen_constants_were_unsound(engine):
+    """Regression documentation: over the REAL dp table the corpus-fitted
+    slack 4.0 is violated by a mismatch cluster the DP routes through
+    gap pairs — the screen would have silently dropped a true hit.  The
+    screening-table redesign exists because of this case."""
+    rng = np.random.default_rng(0)
+    worst = 0.0
+    for trial in range(60):
+        anchor = 12
+        m = 6
+        q = rng.integers(0, 4, 2 * anchor + m).astype(np.uint8)
+        t = (3 - q).astype(np.uint8)
+        for k in range(anchor, anchor + m):
+            choices = [c for c in range(4) if c != 3 - q[k]]
+            t[k] = choices[rng.integers(0, len(choices))]
+        w = t[::-1].copy()
+        res = engine.eval_batch(native.HETERO, [q], [w],
+                                np.array([9e-7], np.float32))
+        if not res["valid"][0]:
+            continue
+        imp = float(res["dp_dg"][0]) - float(res["dg"][0])
+        worst = max(worst, imp)
+    assert worst > 4.0, worst

@@ -1,24 +1,23 @@
-"""The screen-soundness slack property (screen.py).
+"""The screen-soundness slack property (screen.py, screen_bound.py).
 
-The device screen drops a window when the DP path energy dp(T) fails a
-threshold derived from the filter plus a slack; soundness requires that
-the exact re-scorer (evaluate_alignment, reference nuc_cruc.cpp:1620-2299)
-can never beat the DP path minimum by more than that slack:
+The screen drops a window when the SCREENING-table DP (admissible event
+charges, update_dp_param_screen) fails a threshold minus the
+constructive slack bound; soundness requires
 
-    dG_exact(reported alignment, T)  >=  dp(T) - SLACK
+    dG_exact(reported alignment, T)  >=  screen_dp(T) - slack(T)
 
 for every window, at every screening temperature, in every engine mode —
 including --dinkelbach, where the reported alignment is optimized at a
-different temperature (the iteration changes WHICH alignment is reported,
-not the evaluator; the inequality is over all alignments of the window).
+different temperature (the iteration changes WHICH alignment is
+reported, not the evaluator; the inequality is over all alignments).
 
-This test hammers the inequality with an adversarial corpus engineered to
-maximize the exact-vs-path gap: internal loops (mismatch clusters), 1-3
-base bulges on either strand, frayed ends, GT/TG wobble runs, dangling
-ends, across temperatures spanning the screening range, plus the
-Dinkelbach mode checked against independently-computed dp(T*) and dp(Tk)
-bounds.  The slack values (4.0 / 7.0 kcal/mol) cover the corpus maxima
-(~2.2 / ~4.9) with ~2 kcal/mol of margin.
+This regression corpus hammers the inequality on structured windows:
+internal loops, bulges on either strand, frayed ends, GT/TG wobble runs,
+dangling ends, across the screening temperature range, plus Dinkelbach
+checked against independently-computed screen_dp(T*) and screen_dp(Tk).
+The constructive per-family derivation lives in screen_bound.py /
+tests/test_screen_bound.py; this corpus is the end-to-end check that the
+derivation composes on realistic multi-event windows.
 """
 
 import numpy as np
@@ -103,28 +102,53 @@ CORPUS = _corpus()
 CONC = 9e-7
 
 
+def _screen_dp_dg(engine, items, T):
+    """Screening-table DP free energy per window at temperature T."""
+    from tntblast_tpu.ops.thermo_dp import dp_max_score
+    dg = engine.delta_g_screen(np.float32(T)).astype(np.int32).reshape(-1)
+    wq = max(len(o) for o, _ in items)
+    wt = max(len(w) for _, w in items)
+    n = len(items)
+    qc = np.zeros((n, wq), np.int32)
+    ql = np.zeros(n, np.int32)
+    tc = np.zeros((n, wt), np.int32)
+    tl = np.zeros(n, np.int32)
+    for i, (o, w) in enumerate(items):
+        qc[i, :len(o)] = o
+        ql[i] = len(o)
+        tc[i, :len(w)] = w
+        tl[i] = len(w)
+    score = np.asarray(dp_max_score(qc, ql, tc, tl, dg, wq=wq, wt=wt))
+    return -score.astype(np.float64) / 10000.0
+
+
 def _gaps(engine, items):
+    """screen_dp(T*) - exact_dg per corpus window (positive = the exact
+    evaluator beat the screening bound by that much)."""
     q = [o for o, _ in items]
     t = [w for _, w in items]
     out = engine.eval_batch(native.HETERO, q, t,
                             np.full(len(items), CONC, dtype=np.float32))
     ok = out["valid"].astype(bool)
-    return (out["dp_dg"][ok] - out["dg"][ok]), out
+    sdp = _screen_dp_dg(engine, items, float(engine.target_T))
+    return (sdp[ok] - out["dg"][ok]), out
 
 
 @pytest.mark.parametrize("target_T", [290.15, 310.15, 330.15])
 def test_slack_bound_plain(target_T):
+    from tntblast_tpu.screen_bound import slack_bound
     eng = native.MeltEngine(target_T=target_T, n_threads=1)
     gaps, _ = _gaps(eng, CORPUS)
     assert len(gaps) > 0.5 * len(CORPUS)
-    assert gaps.max() <= TpuScreen.SLACK_NO_DANGLE, float(gaps.max())
+    assert gaps.max() <= slack_bound(eng, target_T, False), float(gaps.max())
 
 
 def test_slack_bound_dangle():
+    from tntblast_tpu.screen_bound import slack_bound
     eng = native.MeltEngine(dangle5=True, dangle3=True, n_threads=1)
     gaps, _ = _gaps(eng, CORPUS)
     assert len(gaps) > 0.5 * len(CORPUS)
-    assert gaps.max() <= TpuScreen.SLACK_DANGLE, float(gaps.max())
+    assert gaps.max() <= slack_bound(eng, 310.15, True), float(gaps.max())
 
 
 def test_slack_bound_dinkelbach():
@@ -148,14 +172,18 @@ def test_slack_bound_dinkelbach():
 
     ok = out_d["valid"].astype(bool)
     assert ok.sum() > 0.5 * len(CORPUS)
-    slack = TpuScreen.SLACK_NO_DANGLE
-    # dG condition: reported dG (at T*, frag_search.cpp:542) vs dp(T*)
-    gap_dg = out_s["dp_dg"][ok] - out_d["dg"][ok]
-    assert gap_dg.max() <= slack, float(gap_dg.max())
-    # Tm condition: dH - Tk*dS of the reported alignment vs dp(Tk)
+    from tntblast_tpu.screen_bound import slack_bound
+    # dG condition: reported dG vs screen_dp(T*)
+    sdp_star = _screen_dp_dg(dink, CORPUS, t_star)
+    gap_dg = sdp_star[ok] - out_d["dg"][ok]
+    assert gap_dg.max() <= slack_bound(dink, t_star, False), \
+        float(gap_dg.max())
+    # Tm condition: dH - Tk*dS of the reported alignment vs screen_dp(Tk)
+    sdp_tk = _screen_dp_dg(dink, CORPUS, tk)
     dg_at_tk = out_d["dH"][ok] - np.float32(tk) * out_d["dS"][ok]
-    gap_tm = out_k["dp_dg"][ok] - dg_at_tk
-    assert gap_tm.max() <= slack, float(gap_tm.max())
+    gap_tm = sdp_tk[ok] - dg_at_tk
+    assert gap_tm.max() <= slack_bound(dink, tk, False), \
+        float(gap_tm.max())
 
 
 def test_dinkelbach_screen_active_and_prunes():

@@ -63,9 +63,17 @@ class LmdbEnv:
             raise LmdbError(f"{path}: no valid LMDB meta page")
         self.meta = max(metas, key=lambda m: m["txnid"])
 
+    def _unpack(self, fmt, off):
+        """struct.unpack_from with structural damage mapped to LmdbError
+        (truncated or corrupted files must fail loudly and typed)."""
+        try:
+            return struct.unpack_from(fmt, self.data, off)
+        except struct.error as e:
+            raise LmdbError(f"truncated/corrupt LMDB file: {e}") from None
+
     def _meta(self, pg):
         off = pg * self.page_size + PAGEHDRSZ
-        magic, version = struct.unpack_from("<II", self.data, off)
+        magic, version = self._unpack("<II", off)
         if magic != MAGIC:
             raise LmdbError("bad magic")
         if version != DATA_VERSION:
@@ -73,11 +81,11 @@ class LmdbEnv:
         off += 8 + 8 + 8                      # magic+version, address, mapsize
         dbs = []
         for _ in range(2):
-            vals = struct.unpack_from(_DB_FMT, self.data, off)
+            vals = self._unpack(_DB_FMT, off)
             dbs.append({"flags": vals[1], "depth": vals[2],
                         "entries": vals[6], "root": vals[7]})
             off += _DB_SIZE
-        last_pg, txnid = struct.unpack_from("<QQ", self.data, off)
+        last_pg, txnid = self._unpack("<QQ", off)
         return {"main": dbs[1], "txnid": txnid, "last_pg": last_pg}
 
     # -- page walking ---------------------------------------------------
@@ -85,7 +93,7 @@ class LmdbEnv:
         off = pgno * self.page_size
         if off + PAGEHDRSZ > len(self.data):
             raise LmdbError(f"page {pgno} out of range")
-        flags, lower, upper = struct.unpack_from("<HHH", self.data, off + 10)
+        flags, lower, upper = self._unpack("<HHH", off + 10)
         return off, flags, lower
 
     def _nodes(self, pgno):
@@ -94,12 +102,13 @@ class LmdbEnv:
         if flags & P_LEAF2:
             raise LmdbError("LEAF2 (dupfixed) pages not supported")
         n = (lower - PAGEHDRSZ) // 2
-        ptrs = struct.unpack_from(f"<{n}H", self.data, off + PAGEHDRSZ)
+        if n < 0 or n > self.page_size // 2:
+            raise LmdbError(f"corrupt page header: {n} nodes")
+        ptrs = self._unpack(f"<{n}H", off + PAGEHDRSZ)
         out = []
         for p in ptrs:
             base = off + p
-            lo, hi, nflags, ksize = struct.unpack_from("<HHHH", self.data,
-                                                       base)
+            lo, hi, nflags, ksize = self._unpack("<HHHH", base)
             key = self.data[base + 8:base + 8 + ksize]
             if flags & P_BRANCH:
                 child = lo | (hi << 16) | (nflags << 32)
@@ -108,7 +117,7 @@ class LmdbEnv:
                 dsize = lo | (hi << 16)
                 dstart = base + 8 + ksize
                 if nflags & F_BIGDATA:
-                    (ovpg,) = struct.unpack_from("<Q", self.data, dstart)
+                    (ovpg,) = self._unpack("<Q", dstart)
                     oof, oflags, _ = self._page(ovpg)
                     if not oflags & P_OVERFLOW:
                         raise LmdbError("bad overflow page")
@@ -119,13 +128,15 @@ class LmdbEnv:
                 out.append((key, nflags, data))
         return out
 
-    def _tree_items(self, root):
+    def _tree_items(self, root, _depth=0):
         if root == P_INVALID:
             return
+        if _depth > 64:          # corrupted branch cycles must terminate
+            raise LmdbError("B-tree deeper than 64 levels (corrupt?)")
         _, flags, _ = self._page(root)
         if flags & P_BRANCH:
             for _, _, child in self._nodes(root):
-                yield from self._tree_items(child)
+                yield from self._tree_items(child, _depth + 1)
         else:
             for key, nflags, data in self._nodes(root):
                 if nflags & F_DUPDATA:
@@ -145,6 +156,8 @@ class LmdbEnv:
         want = name.encode() if isinstance(name, str) else name
         for key, nflags, data in self._tree_items(self.meta["main"]["root"]):
             if key == want and nflags & F_SUBDATA:
+                if len(data) < _DB_SIZE:
+                    raise LmdbError("corrupt sub-db record")
                 vals = struct.unpack_from(_DB_FMT, data, 0)
                 return vals[7]
         return None

@@ -48,6 +48,8 @@ def _load():
            ctypes.c_int, ctypes.c_int])
     lib.tnt_engine_destroy.argtypes = [ctypes.c_void_p]
     lib.tnt_engine_delta_g.argtypes = [ctypes.c_void_p, ctypes.c_float, _i32p]
+    lib.tnt_engine_delta_g_screen.argtypes = [
+        ctypes.c_void_p, ctypes.c_float, _i32p]
 
     lib.tnt_eval_batch.restype = ctypes.c_int64
     lib.tnt_eval_batch.argtypes = [
@@ -182,6 +184,16 @@ class MeltEngine:
         if getattr(self, "_h", None):
             self._lib.tnt_engine_destroy(self._h)
             self._h = None
+
+    def delta_g_screen(self, target_T=None):
+        """Screening-table variant (update_dp_param_screen): event
+        charges zeroed to admissible lower bounds of the exact
+        evaluator's corrections — see docs/screen_bound.md."""
+        out = np.zeros(49 * 49, dtype=np.int32)
+        self._lib.tnt_engine_delta_g_screen(
+            self._h, np.float32(self.target_T if target_T is None
+                                else target_T), out)
+        return out.reshape(49, 49)
 
     def delta_g(self, target_T=None):
         out = np.zeros(49 * 49, dtype=np.int32)

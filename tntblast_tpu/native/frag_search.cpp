@@ -769,10 +769,16 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
         Cond conds[2];
         int n_cond = 0;
         const Engine& eng = *ctx.eng;
-        // slack: exact re-scoring can beat the DP path energy by at most
-        // this much (kcal/mol) — screen.py TpuScreen.SLACK_* values,
-        // empirically bounded with margin by tests/test_screen_slack.py
-        const double slack = (eng.dangle5 || eng.dangle3) ? 7.0 : 4.0;
+        // slack: with the SCREENING table (update_dp_param_screen) the
+        // exact re-scorer can beat the reachable path energy only by the
+        // O(1) terminal terms bounded constructively in screen_bound.py
+        // (< 0.5 kcal/mol over the full operating range; 1.0 keeps a 2x
+        // margin and is asserted against the computed bound in
+        // tests/test_screen_bound.py).  The previous corpus-fitted
+        // 4.0/7.0 constants over the REAL table were unsound: mismatch
+        // clusters routed through gap pairs overcharge linearly in
+        // cluster size (docs/screen_bound.md).
+        const double slack = 1.0;
         const double R = 1.9872e-3;               // reference nuc_cruc.h:33
         if (filt.min_tm > 0 && strand_conc > 0) {
             const double tk = (double)filt.min_tm + 273.15;
@@ -803,7 +809,9 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
                     auto& dg = ctx.cond_dg_cache[tkey];
                     if (dg.empty()) {
                         dg.resize(NUM_BP * NUM_BP);
-                        update_dp_param(eng, conds[c].T, dg.data());
+                        // screening table: event charges are admissible
+                        // lower bounds (docs/screen_bound.md)
+                        update_dp_param_screen(eng, conds[c].T, dg.data());
                     }
                     build_query_lut_dg(oligo->data(), (int)oligo->size(),
                                        dg.data(), lut);

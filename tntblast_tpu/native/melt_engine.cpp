@@ -335,6 +335,49 @@ void update_dp_param(const Engine& eng, float target_T, int* delta_g)
     }
 }
 
+// Screening variant of the table (docs/screen_bound.md): every entry the
+// builder above OVERRIDES with a fitted, zero-clamped event charge
+// (terminal-match/mismatch next to a gap or boundary, interior LOOP
+// pairs, BULGE gap extensions) is replaced by 0 — an admissible lower
+// bound of the exact evaluator's event cost, whose loop/bulge penalties
+// are all >= 0 (loop-terminal swaps cancel exactly: the tstack files are
+// empty so param_loop_terminal == param).  A screening DP over this
+// table can never overcharge an event, so the residual slack collapses
+// to O(1) terminal terms (screen_slack_bound) instead of growing with
+// event size — the corpus-fitted 4.0/7.0 constants were violated by
+// large mismatch clusters routed through gap pairs (improvement 5.16
+// measured; unbounded in window size).
+void update_dp_param_screen(const Engine& eng, float target_T, int* delta_g)
+{
+    update_dp_param(eng, target_T, delta_g);
+    for (int i = A; i <= I; ++i) {
+        for (int j = A; j <= I; ++j) {
+            const int curr = i * NUM_BASE + j;
+            for (int k = A; k <= I; ++k) {
+                const int prev1 = k * NUM_BASE + GAP;
+                const int prev2 = GAP * NUM_BASE + k;
+                delta_g[curr * NUM_BP + prev1] = 0;
+                delta_g[prev1 * NUM_BP + curr] = 0;
+                delta_g[curr * NUM_BP + prev2] = 0;
+                delta_g[prev2 * NUM_BP + curr] = 0;
+            }
+            for (int k = A; k <= I; ++k) {
+                for (int l = A; l <= I; ++l) {
+                    const int prev = k * NUM_BASE + l;
+                    if (!eng.t.wc[curr] && !eng.t.wc[prev])
+                        delta_g[curr * NUM_BP + prev] = 0;
+                }
+            }
+        }
+    }
+    for (int i = A; i <= I; ++i) {
+        for (int j = A; j <= I; ++j) {
+            delta_g[(i * NUM_BASE + GAP) * NUM_BP + (j * NUM_BASE + GAP)] = 0;
+            delta_g[(GAP * NUM_BASE + i) * NUM_BP + (GAP * NUM_BASE + j)] = 0;
+        }
+    }
+}
+
 void state_set_temperature(MeltState& st, float T)
 {
     st.target_T = T;
@@ -1919,6 +1962,14 @@ void tnt_engine_destroy(void* eng) { delete (Engine*)eng; }
 
 // Expose the engine's DP score table for cross-checking against the Python
 // thermo module and for building the Pallas kernel inputs.
+void tnt_engine_delta_g_screen(void* eng_ptr, float target_T, int32_t* out)
+{
+    Engine& e = *(Engine*)eng_ptr;
+    int dg[NUM_BP * NUM_BP];
+    update_dp_param_screen(e, target_T, dg);
+    for (int i = 0; i < NUM_BP * NUM_BP; ++i) out[i] = dg[i];
+}
+
 void tnt_engine_delta_g(void* eng, float target_T, int32_t* out)
 {
     update_dp_param(*(Engine*)eng, target_T, out);

@@ -78,9 +78,11 @@ class PanelConfig:
         # per-fragment capacity of the device-compacted KEPT-seed list —
         # the only per-candidate payload the resolve reads back (scaled by
         # the batch size and pooled, so a fragment can exceed its share as
-        # long as the batch total fits).  Screens typically keep <50% of
-        # candidates; callers with screening disabled pass kcap=cap.
-        self.kcap = int(kcap) if kcap is not None else max(cap // 4, 512)
+        # long as the batch total fits).  The SOUND screen keeps ~60-70%
+        # of candidates on random background (docs/screen_bound.md);
+        # callers with screening disabled pass kcap=cap.
+        self.kcap = int(kcap) if kcap is not None else max(
+            (3 * cap) // 4, 512)
         self.kcap = min(self.kcap, cap)
         self.num_cond = int(num_cond)
 

@@ -61,14 +61,23 @@ class ScreenStub:
 
 
 class TpuScreen:
-    """Batched DP screen bound to one native engine's parameter tables."""
+    """Batched DP screen bound to one native engine's parameter tables.
 
-    SLACK_NO_DANGLE = 4.0
-    SLACK_DANGLE = 7.0
+    The DP runs over the SCREENING table (update_dp_param_screen: event
+    charges replaced by admissible lower bounds) and the slack is the
+    constructive bound computed from the tables (screen_bound.py) — the
+    previous corpus-fitted constants 4.0/7.0 were violated by mismatch
+    clusters routed through gap pairs (docs/screen_bound.md)."""
 
     def __init__(self, engine, dangle=False, min_batch=64):
+        from tntblast_tpu.screen_bound import slack_bound
         self.engine = engine
-        self.slack = self.SLACK_DANGLE if dangle else self.SLACK_NO_DANGLE
+        self.dangle = dangle
+        # max over the operating range (screening temperatures land in
+        # [Tk_min, T*]; the bound is near-constant in T)
+        self.slack = max(slack_bound(engine, t, dangle)
+                         for t in (273.15, 293.15, 313.15, 333.15,
+                                   353.15, 373.15)) + 0.1
         self.min_batch = min_batch
         self._tables = {}   # round(T,4) -> device int32 (2401,)
         t = engine._tables
@@ -82,7 +91,8 @@ class TpuScreen:
         tab = self._tables.get(key)
         if tab is None:
             tab = jnp.asarray(
-                self.engine.delta_g(np.float32(T)).astype(np.int32).reshape(-1))
+                self.engine.delta_g_screen(
+                    np.float32(T)).astype(np.int32).reshape(-1))
             self._tables[key] = tab
         return tab
 
