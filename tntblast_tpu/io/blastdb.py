@@ -396,7 +396,18 @@ class BlastDb:
     def _taxid_to_oids(self, taxid):
         """CSeqDB::TaxIdsToOids via the TAXID2OIDS LMDB table; None when
         the database carries no taxonomy index or the taxid is absent
-        (the reference THROWs in both cases)."""
+        (the reference THROWs in both cases).
+
+        Supported schema (documented limitation): taxonomy lives as a
+        TAXID2OIDS sub-db inside the .ndb LMDB volume, as written by
+        blastdb.create_db.  Genuine makeblastdb v5 databases keep
+        taxid->OID mappings in separate .nto/.ntf files with different
+        sub-db naming; reading those needs a real NCBI fixture to
+        validate against, which this environment cannot produce (no
+        makeblastdb/liblmdb, no network).  --blast-include/-exclude with
+        a numeric taxid on such a database raises the same loud
+        'Unable to find TaxID' error the reference raises for databases
+        without taxonomy."""
         if self._lmdb is None:
             return None
         try:

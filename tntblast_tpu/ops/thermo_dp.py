@@ -187,152 +187,18 @@ def dp_delta_g(q_codes, q_len, t_codes, t_len, delta_g, *, wq, wt):
 
 
 # ---------------------------------------------------------------------------
-# Slot-table DP: the TPU fast path used by the fragment pipeline.
-#
-# dp_max_score gathers 7 (B, wq, wt) energy tensors from the 49x49 table —
-# hundreds of millions of scalar gathers per fragment, the worst possible
-# access pattern for a TPU.  But the query of every window is one of a
-# small, fixed set of panel oligos ("slots"), so for a fixed slot and DP
-# row r the 7 energies are functions of only the (prev, cur) *target* base
-# pair — and the device DP only ever sees target codes in {A,C,G,T,I}
-# (windows with gaps/unknown/degenerate bases are routed to the host,
-# device_search.fragment_step_core `needs_host`).  Precompute, per
-# (slot, row), a 7x30 table over (prev-target in {A,C,G,T,I,GAP-at-col-0},
-# cur-target in {A,C,G,T,I}) and contract it with one-hot encodings on the
-# MXU: zero gathers in the hot loop.
-#
-# The one-hot contractions run in f32 (exact for these |v| < 2^24 integer
-# tables up to MXU accumulation rounding); DP_SLOT_MARGIN absorbs any
-# rounding so the screen stays conservative: callers must compare
-# score >= threshold - DP_SLOT_MARGIN.
+# (The round-3 "slot-table" einsum formulation lived here: per-(slot, row)
+# f32 energy tables contracted with one-hot target pairs on the MXU, plus
+# a DP_SLOT_MARGIN absorbing accumulation rounding.  It was superseded by
+# the canonical-pair formulation below — exact int32, one 25 KB table per
+# temperature, constant-operand matmuls per slot — measured ~170x faster
+# per chunk; see parallel/device_search.py.  A Pallas screening kernel
+# was also evaluated and removed: any Pallas custom call costs a fixed
+# ~28-36 ms through the tunneled-TPU runtime (BASELINE.md), two orders
+# above the whole per-slot XLA step.)
 
 NUM_T5 = 5            # target-domain letters on the device path: A,C,G,T,I
 NUM_PREV = 6          # prev-target letters: A,C,G,T,I + GAP (column 0)
-DP_SLOT_MARGIN = 4096  # int score units (0.41 kcal/mol of >= 4.0 slack)
-
-
-def build_slot_row_tables(slot_codes, slot_qlen, delta_g, *, wq):
-    """Host-side (numpy) per-(slot, row) energy tables.
-
-    slot_codes: (S, wq) int query melt codes (padded past slot_qlen)
-    slot_qlen:  (S,) int
-    delta_g:    (49*49,) int32 table at the screen temperature
-    Returns (S, wq, 7, NUM_PREV*NUM_T5) float32: for DP row r (reversed
-    query) the 7 recurrence energies indexed by prev*5 + cur target base.
-    """
-    bp = best_pair_table()
-    dg = np.asarray(delta_g).reshape(-1)
-    S = len(slot_codes)
-    out = np.zeros((S, wq, 7, NUM_PREV * NUM_T5), dtype=np.float32)
-    tb = np.arange(NUM_T5)                         # cur target base
-    pt = np.array([0, 1, 2, 3, 4, GAP])            # prev target base
-    for s in range(S):
-        n = int(slot_qlen[s])
-        rev = np.asarray(slot_codes[s][:n][::-1], dtype=np.int64)
-        for r in range(n):
-            qb = rev[r]
-            pq = rev[r - 1] if r > 0 else GAP
-            cur = bp[tb, qb]                       # (5,)
-            gq = bp[tb, GAP]                       # cur pair for Iq
-            gt = bp[GAP, qb]                       # cur pair for It
-            prev_mm = bp[pt, pq]                   # (6,)
-            prev_gq = bp[pt, GAP]
-            prev_gp = bp[GAP, pq]
-            e = np.empty((7, NUM_PREV, NUM_T5), dtype=np.float32)
-            e[0] = dg[prev_mm[:, None] * NUM_BP + cur[None, :]]   # DGmm
-            e[1] = dg[prev_gq[:, None] * NUM_BP + cur[None, :]]   # DGmq
-            e[2] = dg[prev_gp * NUM_BP + cur][None, :]            # DGmt
-            e[3] = dg[bp[pt, qb][:, None] * NUM_BP + gq[None, :]]  # DGqi
-            e[4] = dg[prev_gq[:, None] * NUM_BP + gq[None, :]]    # DGqe
-            e[5] = dg[bp[tb, pq] * NUM_BP + gt][None, :]          # DGti
-            e[6] = np.float32(dg[prev_gp * NUM_BP + gt])          # DGte
-            out[s, r] = e.reshape(7, -1)
-    return out
-
-
-@functools.partial(jax.jit, static_argnames=("wq", "wt"))
-def dp_max_score_slots(os_idx, t_codes, t_len, slot_tables, slot_qlen,
-                       *, wq, wt):
-    """Max M-state DP score per window, slot-table formulation.
-
-    os_idx:      (B,) int32 slot of each window
-    t_codes:     (B, wt) int32 melt codes (only {0..4} participate; windows
-                 with other codes must be routed to the host by the caller)
-    t_len:       (B,) int32
-    slot_tables: (S, wq, 7, NUM_PREV*NUM_T5) float32 from
-                 build_slot_row_tables
-    slot_qlen:   (S,) int32
-    Returns (B,) int32 scores equal to dp_max_score up to MXU f32
-    accumulation rounding (bounded by DP_SLOT_MARGIN).
-    """
-    B = t_codes.shape[0]
-    S = slot_tables.shape[0]
-    q_len = slot_qlen[os_idx]                          # (B,)
-
-    tb5 = jnp.clip(t_codes, 0, NUM_T5 - 1)
-    pt6 = jnp.concatenate(
-        [jnp.full((B, 1), NUM_T5, jnp.int32), tb5[:, :-1]], axis=1)
-    ptb = pt6 * NUM_T5 + tb5                           # (B, wt) in [0, 30)
-
-    # per-window row tables via one-hot slot matmul (MXU, no gather).
-    # Precision HIGHEST: the table values are integer-valued f32 < 2^24,
-    # one-hot operands are exact, and the bf16x3 decomposition reproduces
-    # f32 exactly — required for the conservativeness proof (the default
-    # TPU precision truncates the tables to bf16, an error of up to
-    # ~2^-9 relative, far beyond DP_SLOT_MARGIN).
-    hi = jax.lax.Precision.HIGHEST
-    oh_s = (os_idx[:, None] == jnp.arange(S)[None, :]).astype(jnp.float32)
-    tblb = jnp.einsum("bs,srek->brek", oh_s, slot_tables,
-                      precision=hi, preferred_element_type=jnp.float32)
-
-    # per-cell energies via one-hot target-pair matmul
-    oh_p = (ptb[:, :, None]
-            == jnp.arange(NUM_PREV * NUM_T5)[None, None, :]).astype(
-                jnp.float32)
-    E = jnp.einsum("bjk,brek->brje", oh_p, tblb,
-                   precision=hi,
-                   preferred_element_type=jnp.float32)  # (B, wq, wt, 7)
-    Ei = jnp.round(E).astype(jnp.int32)
-
-    col_valid = jnp.arange(wt)[None, :] < t_len[:, None]
-    row_valid = jnp.arange(wq)[None, :] < q_len[:, None]
-    neg1 = jnp.full((B, wt + 1), -1, jnp.int32)
-
-    def row_step(carry, xs):
-        prevM, prevIq, prevIt, best = carry
-        e, rvalid = xs                                  # (B, wt, 7), (B,)
-        dgmm, dgmq, dgmt = e[..., 0], e[..., 1], e[..., 2]
-        dgqi, dgqe = e[..., 3], e[..., 4]
-        dgti, dgte = e[..., 5], e[..., 6]
-
-        m = jnp.maximum(
-            jnp.maximum(_relu(prevM[:, :-1]) - dgmm,
-                        _relu(prevIq[:, :-1]) - dgmq),
-            _relu(prevIt[:, :-1]) - dgmt)
-
-        it = jnp.maximum(_relu(prevM[:, 1:]) - dgti,
-                         _relu(prevIt[:, 1:]) - dgte)
-
-        m_shift = jnp.concatenate(
-            [jnp.full((B, 1), -1, jnp.int32), m[:, :-1]], axis=1)
-        a = jnp.maximum(_relu(m_shift) - dgqi, -dgqe)
-        s = jnp.cumsum(dgqe, axis=1)
-        iq = jax.lax.cummax(a + s, axis=1) - s
-
-        best = jnp.maximum(
-            best,
-            jnp.max(jnp.where(col_valid & rvalid[:, None], m, -1), axis=1))
-
-        newM = jnp.concatenate([neg1[:, :1], m], axis=1)
-        newIq = jnp.concatenate([neg1[:, :1], iq], axis=1)
-        newIt = jnp.concatenate([neg1[:, :1], it], axis=1)
-        return (newM, newIq, newIt, best), None
-
-    xs = (jnp.moveaxis(Ei, 1, 0), jnp.moveaxis(row_valid, 1, 0))
-    init = (neg1, neg1, neg1, jnp.full((B,), -1, jnp.int32))
-    (_, _, _, best), _ = jax.lax.scan(row_step, init, xs)
-    return best
-
 
 # ---------------------------------------------------------------------------
 # Canonical-pair DP: the exact-integer TPU formulation (round 4).
