@@ -50,6 +50,8 @@ def _load():
     lib.tnt_engine_delta_g.argtypes = [ctypes.c_void_p, ctypes.c_float, _i32p]
     lib.tnt_engine_delta_g_screen.argtypes = [
         ctypes.c_void_p, ctypes.c_float, _i32p]
+    lib.tnt_engine_set_screen_slack.argtypes = [
+        ctypes.c_void_p, ctypes.c_float]
 
     lib.tnt_eval_batch.restype = ctypes.c_int64
     lib.tnt_eval_batch.argtypes = [
@@ -179,6 +181,18 @@ class MeltEngine:
             np.float32(target_T), np.float32(na),
             int(dangle5), int(dangle3), int(dinkelbach), int(n_threads))
         self._lib = lib
+        # constructive screening slack for the native host screen
+        # (screen_bound.slack_bound; computed over the operating range)
+        try:
+            from tntblast_tpu.screen_bound import slack_bound
+            dangle = bool(dangle5 or dangle3)
+            slack = max(slack_bound(self, tt, dangle)
+                        for tt in (273.15, 293.15, 313.15, 333.15,
+                                   353.15, 373.15)) + 0.1
+            lib.tnt_engine_set_screen_slack(self._h, np.float32(slack))
+            self.screen_slack = float(slack)
+        except Exception:   # noqa: BLE001 — fall back to the safe 1.0
+            self.screen_slack = 1.0
 
     def __del__(self):
         if getattr(self, "_h", None):

@@ -772,13 +772,12 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
         // slack: with the SCREENING table (update_dp_param_screen) the
         // exact re-scorer can beat the reachable path energy only by the
         // O(1) terminal terms bounded constructively in screen_bound.py
-        // (< 0.5 kcal/mol over the full operating range; 1.0 keeps a 2x
-        // margin and is asserted against the computed bound in
-        // tests/test_screen_bound.py).  The previous corpus-fitted
-        // 4.0/7.0 constants over the REAL table were unsound: mismatch
-        // clusters routed through gap pairs overcharge linearly in
-        // cluster size (docs/screen_bound.md).
-        const double slack = 1.0;
+        // (< 0.5 kcal/mol over the operating range; the engine carries
+        // the computed bound, default 1.0 = a safe over-bound).  The
+        // previous corpus-fitted 4.0/7.0 constants over the REAL table
+        // were unsound: mismatch clusters routed through gap pairs
+        // overcharge linearly in cluster size (docs/screen_bound.md).
+        const double slack = eng.screen_slack;
         const double R = 1.9872e-3;               // reference nuc_cruc.h:33
         if (filt.min_tm > 0 && strand_conc > 0) {
             const double tk = (double)filt.min_tm + 273.15;

@@ -271,6 +271,9 @@ struct Engine {
     float na = 0.05f;
     bool dangle5 = false, dangle3 = false;
     bool dinkelbach = false;
+    // constructive screening slack (screen_bound.slack_bound, set from
+    // Python after engine creation; 1.0 is a safe over-bound default)
+    float screen_slack = 1.0f;
     std::vector<MeltState*> states;  // per worker thread
 
     ~Engine() { for (auto* s : states) delete s; }
@@ -1962,6 +1965,11 @@ void tnt_engine_destroy(void* eng) { delete (Engine*)eng; }
 
 // Expose the engine's DP score table for cross-checking against the Python
 // thermo module and for building the Pallas kernel inputs.
+void tnt_engine_set_screen_slack(void* eng_ptr, float slack)
+{
+    ((Engine*)eng_ptr)->screen_slack = slack;
+}
+
 void tnt_engine_delta_g_screen(void* eng_ptr, float target_T, int32_t* out)
 {
     Engine& e = *(Engine*)eng_ptr;

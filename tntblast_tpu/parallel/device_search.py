@@ -192,18 +192,19 @@ def panel_step_core(frags, frag_lens, oligo_words, t_canon, thresholds,
     whose batch is the slot's static capacity (_slot_segment_caps).  An
     inactive slot (no candidates) skips its DP via lax.cond.
 
-    Returns (packed, slot, p, keep, needs_host, valid):
-      packed: 1-D int32 resolve payload —
+    Returns (header, kept_block, slot, p, keep, needs_host, valid):
+      header: 1-D int32 —
         [0]                      n_kept (total over the batch)
         [1 : 1+n]                per-fragment overflow flags
         [1+n : 1+n+num_os]       per-slot segment-overflow flags
         [... : ... + n]          per-fragment candidate counts
         [... : ... + n*num_os]   per-(fragment, slot) seed counts
-        [... : ... + 9*bkcap]    kept rows: flat_idx, slot, p, kmin,
-                                 eval w0..w4 (packed flags/counts/ranges
-                                 and the f32 bit patterns of dH/dS from
-                                 the device gapless evaluator; zeros when
-                                 eval_on=False)
+      kept_block: (9, bkcap) int32 kept rows — flat_idx, slot, p, kmin,
+        eval w0..w4 (packed flags/counts/ranges and the f32 bit patterns
+        of dH/dS from the device gapless evaluator; zeros when
+        eval_on=False).  The resolve reads the tiny header first, then
+        only the used prefix of this block (two transfers instead of a
+        worst-case-sized one).
       slot/p/valid: (n_frags, cap) per-candidate arrays.
       keep/needs_host: pool-order per-candidate arrays when full=True
       (tests), all-zeros placeholders otherwise.
@@ -446,11 +447,12 @@ def panel_step_core(frags, frag_lens, oligo_words, t_canon, thresholds,
     kmin_k = jnp.where(kv, kmin_k, 0)
 
     ev_k = jnp.where(kv[:, None], ev_all[ks], 0)
-    packed = jnp.concatenate([
+    header = jnp.concatenate([
         n_kept[None], overflow.astype(jnp.int32),
         jnp.zeros(num_os, jnp.int32).at[:n_real].set(
             slot_over.astype(jnp.int32)),
-        n_cand, counts.reshape(-1),
+        n_cand, counts.reshape(-1)])
+    kept_block = jnp.stack([
         pool_idx.astype(jnp.int32), os_k, p_k, kmin_k,
         ev_k[:, 0], ev_k[:, 1], ev_k[:, 2], ev_k[:, 3], ev_k[:, 4]])
 
@@ -467,7 +469,8 @@ def panel_step_core(frags, frag_lens, oligo_words, t_canon, thresholds,
         keep_out = jnp.zeros((n, cap), bool)
         nh_out = jnp.zeros((n, cap), bool)
 
-    return (packed, slot, p, keep_out, nh_out, valid.reshape(n, cap))
+    return (header, kept_block, slot, p, keep_out, nh_out,
+            valid.reshape(n, cap))
 
 
 class DevicePanel:
@@ -564,21 +567,18 @@ class DevicePanel:
             jnp.asarray(frags), jnp.asarray(lens), *self.args)
         return n, out
 
-    def _unpack(self, n, packed):
+    def _unpack_header(self, n, header):
         cfg = self.config
-        bkcap = cfg.batch_kcap(n)
-        n_kept = int(packed[0])
+        n_kept = int(header[0])
         o = 1
-        overflow = packed[o:o + n] != 0
+        overflow = header[o:o + n] != 0
         o += n
-        slot_over = packed[o:o + cfg.num_os] != 0
+        slot_over = header[o:o + cfg.num_os] != 0
         o += cfg.num_os
-        n_cand = packed[o:o + n]
+        n_cand = header[o:o + n]
         o += n
-        counts = packed[o:o + n * cfg.num_os].reshape(n, cfg.num_os)
-        o += n * cfg.num_os
-        kept = packed[o:].reshape(9, bkcap)
-        return n_kept, overflow, slot_over, n_cand, counts, kept
+        counts = header[o:o + n * cfg.num_os].reshape(n, cfg.num_os)
+        return n_kept, overflow, slot_over, n_cand, counts
 
     def resolve_fragments(self, pending):
         """Fast resolve: ONE device-to-host transfer of the packed buffer
@@ -586,14 +586,16 @@ class DevicePanel:
         device."""
         n, out = pending
         cfg = self.config
-        packed = np.asarray(out[0])
-        (n_kept, overflow, slot_over, n_cand, counts,
-         kept) = self._unpack(n, packed)
+        header = np.asarray(out[0])
+        (n_kept, overflow, slot_over, n_cand,
+         counts) = self._unpack_header(n, header)
         bkcap = cfg.batch_kcap(n)
         m = min(n_kept, bkcap)
-        flat_idx, os_k, p_k, kmin_k = (kept[0][:m], kept[1][:m],
-                                       kept[2][:m], kept[3][:m])
-        evw = kept[4:9, :m]
+        # second transfer: only the used prefix of the kept block
+        kept = np.asarray(out[1][:, :m])
+        flat_idx, os_k, p_k, kmin_k = (kept[0], kept[1],
+                                       kept[2], kept[3])
+        evw = kept[4:9]
         frag_of = flat_idx // cfg.cap
         kept_over = n_kept > bkcap
         results = []
@@ -617,15 +619,16 @@ class DevicePanel:
         of a window it will not evaluate."""
         n, out = pending
         cfg = self.config
-        packed = np.asarray(out[0])
-        (n_kept, overflow, slot_over, n_cand, counts,
-         kept) = self._unpack(n, packed)
-        slot, p, keep, needs_host, valid = map(np.asarray, out[1:6])
+        header = np.asarray(out[0])
+        (n_kept, overflow, slot_over, n_cand,
+         counts) = self._unpack_header(n, header)
+        slot, p, keep, needs_host, valid = map(np.asarray, out[2:7])
         kmin_full = np.zeros((n, cfg.cap), dtype=np.int32)
         m = min(n_kept, cfg.batch_kcap(n))
-        fi = kept[0][:m] // cfg.cap
-        ri = kept[0][:m] % cfg.cap
-        kmin_full[fi, ri] = kept[3][:m]
+        kept = np.asarray(out[1][:, :m])
+        fi = kept[0] // cfg.cap
+        ri = kept[0] % cfg.cap
+        kmin_full[fi, ri] = kept[3]
         results = []
         for i in range(n):
             mm = int(n_cand[i])

@@ -64,7 +64,7 @@ def build_sharded_step(mesh, cfg: PanelConfig, n_local, slot_meta,
         return tuple(jax.lax.all_gather(x, axis_name, axis=0)
                      for x in out)
 
-    n_out = 6
+    n_out = 7
     sharded = jax.shard_map(
         local_shard, mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(), P(), P(),
