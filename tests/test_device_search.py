@@ -203,3 +203,39 @@ def test_device_screen_degenerate_target_conservative(engine):
     assert sel.size == 1
     assert out["needs_host"][sel[0]], "degenerate window must go to host"
     assert out["keep"][sel[0]], "true hit wrongly screened out"
+
+
+def test_packed_payload_n_runs_and_overflow(engine):
+    """The 2-bit packed upload must reconstruct N-runs and scattered
+    degenerates exactly (seed counts match the host), and a fragment
+    whose exception sideband overflows must surface as overflow (host
+    fallback), never as silently wrong codes."""
+    rng = np.random.default_rng(21)
+    frag = rng.integers(0, 4, 30000).astype(np.uint8)
+    # long N runs (assembly gaps) + scattered degenerates
+    frag[5000:5400] = C.DB_N
+    frag[12000:12010] = C.DB_N
+    for posn in rng.integers(0, 30000, 30):
+        frag[posn] = rng.integers(4, 16)
+
+    fwd = "TTGACCTAGATATTCAGCAAC"
+    w = 7
+    cfg = PanelConfig(word_len=w, num_os=1, max_words=16, wq_max=21,
+                      tile_len=32768, cap=1024, num_cond=1)
+    dg = engine.delta_g().astype(np.int32).reshape(1, -1)
+    thr = np.full((1, 1), INT_MIN, dtype=np.int32)
+    panel = DevicePanel(_mk_panel([(fwd, True)], w), cfg, dg, thr)
+    out = panel.run_fragment(frag)
+    assert not out["overflow"]
+
+    host_frag = seed.FragmentIndex(frag, w)
+    codes = C.ASCII_TO_MELT[np.frombuffer(fwd.encode(), np.uint8)]
+    q, t = seed.find_seeds(host_frag, codes, complement=False)
+    q, t = seed.unique_diagonal_seeds(q, t)
+    assert int(out["counts"][0]) == len(q)
+
+    # exception overflow: more scattered degenerates than EXC_CAP
+    frag2 = rng.integers(0, 4, 30000).astype(np.uint8)
+    frag2[::9] = rng.integers(4, 16, len(frag2[::9]))   # ~3300 exceptions
+    out2 = panel.run_fragment(frag2)
+    assert out2["overflow"], "sideband overflow must force host fallback"

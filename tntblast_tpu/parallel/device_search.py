@@ -168,7 +168,8 @@ def _slot_segment_caps(slot_meta, n_frags, tile_len, word_len):
     return tuple(caps)
 
 
-def panel_step_core(frags, frag_lens, oligo_words, t_canon, thresholds,
+def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
+                    input_over, oligo_words, t_canon, thresholds,
                     t_canon_eval, eval_tabs, eval_loop2m,
                     *, slot_meta, eval_const, word_len, num_os, max_words,
                     wq_max, tile_len, cap, kcap, num_cond, n_frags,
@@ -217,12 +218,38 @@ def panel_step_core(frags, frag_lens, oligo_words, t_canon, thresholds,
     seg_caps = _slot_segment_caps(slot_meta, n, tile_len, word_len)
     max_seg = max(seg_caps)
 
+    # --- reconstruct fragment codes from the packed payload --------------
+    # 2-bit base stream + synthesized padding + N-run mask + scattered
+    # exceptions (see DevicePanel._pack_host)
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    frags = ((frags_packed[:, :, None] >> shifts[None, None, :]) & 3
+             ).reshape(n, L).astype(jnp.uint8)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    frags = jnp.where(pos >= frag_lens[:, None],
+                      jnp.uint8(C.DB_UNKNOWN), frags)
+    # N runs: +1 at starts, -1 at ends, prefix-sum > 0
+    delta = jnp.zeros((n, L + 1), jnp.int32)
+    ones = jnp.ones(nrun_s.shape, jnp.int32)
+    delta = delta.at[jnp.arange(n)[:, None],
+                     jnp.clip(nrun_s, 0, L)].add(ones)
+    delta = delta.at[jnp.arange(n)[:, None],
+                     jnp.clip(nrun_e, 0, L)].add(-ones)
+    in_n = jnp.cumsum(delta[:, :L], axis=1) > 0
+    frags = jnp.where(in_n, jnp.uint8(C.DB_N), frags)
+    # scattered exceptions (pad rows point at column L: dropped)
+    frags = jnp.concatenate(
+        [frags, jnp.zeros((n, 1), jnp.uint8)], axis=1)
+    frags = frags.at[jnp.arange(n)[:, None],
+                     jnp.clip(exc_p, 0, L)].set(exc_c)
+    frags = frags[:, :L]
+
     seed = functools.partial(
         _seed_fragment, word_len=word_len, num_os=num_os,
         max_words=max_words, tile_len=tile_len, cap=cap)
     (slot, p, n_cand, counts, overflow, word,
      word_valid) = jax.vmap(seed, in_axes=(0, 0, None))(
         frags, frag_lens, oligo_words)
+    overflow = overflow | input_over
 
     # --- pooled candidate stream, slot-major via stable sort -------------
     Bp = n * cap
@@ -546,25 +573,66 @@ class DevicePanel:
             self._steps[(n_frags, full)] = fn
         return fn
 
+    # host->device payload compression: fragments ride as a 2-bit base
+    # stream (4 bases/byte) plus a sideband of N-runs and scattered
+    # non-ACGT exceptions; the tile padding is synthesized on device from
+    # frag_len.  4x less h2d on a link measured as low as single-digit
+    # MB/s (BASELINE.md).  A fragment whose sideband overflows the fixed
+    # capacities is flagged: the device marks it overflowed and the host
+    # searches it directly (the existing fallback path).
+    RUN_CAP = 256          # N-run capacity per fragment
+    EXC_CAP = 2048         # scattered exception capacity per fragment
+
     def _pack_host(self, frag_code_list):
         cfg = self.config
         n = len(frag_code_list)
-        frags = np.full((n, cfg.tile_len), C.DB_UNKNOWN, dtype=np.uint8)
+        L = cfg.tile_len
+        packed = np.zeros((n, L // 4), dtype=np.uint8)
         lens = np.zeros(n, dtype=np.int32)
+        run_s = np.full((n, self.RUN_CAP), L, dtype=np.int32)
+        run_e = np.full((n, self.RUN_CAP), L, dtype=np.int32)
+        exc_p = np.full((n, self.EXC_CAP), L, dtype=np.int32)
+        exc_c = np.zeros((n, self.EXC_CAP), dtype=np.uint8)
+        in_over = np.zeros(n, dtype=bool)
         for i, fc in enumerate(frag_code_list):
-            if len(fc) > cfg.tile_len:
+            if len(fc) > L:
                 raise ValueError("fragment exceeds tile_len")
-            frags[i, :len(fc)] = fc
             lens[i] = len(fc)
-        return frags, lens
+            buf = np.zeros(L, dtype=np.uint8)
+            buf[:len(fc)] = fc
+            two = (buf & 3).astype(np.uint8)
+            packed[i] = (two[0::4] | (two[1::4] << 2) | (two[2::4] << 4)
+                         | (two[3::4] << 6))
+            odd = np.flatnonzero(buf[:len(fc)] > C.DB_MAX_ATGC)
+            if odd.size == 0:
+                continue
+            is_n = buf[odd] == C.DB_N
+            npos = odd[is_n]
+            rest = odd[~is_n]
+            # N positions -> maximal runs
+            if npos.size:
+                brk = np.flatnonzero(np.diff(npos) > 1)
+                starts = np.concatenate([[npos[0]], npos[brk + 1]])
+                ends = np.concatenate([npos[brk] + 1, [npos[-1] + 1]])
+                if len(starts) > self.RUN_CAP:
+                    in_over[i] = True
+                    continue
+                run_s[i, :len(starts)] = starts
+                run_e[i, :len(starts)] = ends
+            if rest.size > self.EXC_CAP:
+                in_over[i] = True
+                continue
+            exc_p[i, :rest.size] = rest
+            exc_c[i, :rest.size] = buf[rest]
+        return packed, lens, run_s, run_e, exc_p, exc_c, in_over
 
     def submit_fragments(self, frag_code_list, full=False):
         """Enqueue ONE batched device program covering all fragments in
         the list (async); resolve with `resolve_fragments`."""
         n = len(frag_code_list)
-        frags, lens = self._pack_host(frag_code_list)
+        payload = self._pack_host(frag_code_list)
         out = self._step(n, full)(
-            jnp.asarray(frags), jnp.asarray(lens), *self.args)
+            *(jnp.asarray(a) for a in payload), *self.args)
         return n, out
 
     def _unpack_header(self, n, header):

@@ -58,8 +58,10 @@ def build_sharded_step(mesh, cfg: PanelConfig, n_local, slot_meta,
         cap=cfg.cap, kcap=cfg.kcap, num_cond=cfg.num_cond,
         n_frags=n_local, eval_on=eval_on, full=full)
 
-    def local_shard(frags, frag_lens, ow, tcan, thr, tce, evt, evl):
-        out = step(frags, frag_lens, ow, tcan, thr, tce, evt, evl)
+    def local_shard(fp, frag_lens, rs, re_, ep, ec, iov,
+                    ow, tcan, thr, tce, evt, evl):
+        out = step(fp, frag_lens, rs, re_, ep, ec, iov,
+                   ow, tcan, thr, tce, evt, evl)
         # one collective per output: device blocks stacked in mesh order
         return tuple(jax.lax.all_gather(x, axis_name, axis=0)
                      for x in out)
@@ -67,8 +69,7 @@ def build_sharded_step(mesh, cfg: PanelConfig, n_local, slot_meta,
     n_out = 7
     sharded = jax.shard_map(
         local_shard, mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(), P(), P(),
-                  P(), P(), P()),
+        in_specs=tuple([P(axis_name)] * 7 + [P()] * 6),
         out_specs=tuple(P() for _ in range(n_out)),
         # the DP scan's carry-init constants are unvarying on the data
         # axis by construction; skip the varying-manual-axes check
@@ -106,25 +107,21 @@ class MeshPanel(DevicePanel):
         n = len(frag_code_list)
         n_pad = -(-n // self.n_dev) * self.n_dev
         n_local = n_pad // self.n_dev
-        frags = np.full((n_pad, cfg.tile_len), C.DB_UNKNOWN, dtype=np.uint8)
-        lens = np.zeros(n_pad, dtype=np.int32)
-        for i, fc in enumerate(frag_code_list):
-            if len(fc) > cfg.tile_len:
-                raise ValueError("fragment exceeds tile_len")
-            frags[i, :len(fc)] = fc
-            lens[i] = len(fc)
+        padded = list(frag_code_list) + [
+            np.zeros(0, np.uint8)] * (n_pad - n)
+        payload = self._pack_host(padded)
 
         step = self._steps.get((n_local, full))
         if step is None:
             step = self._steps[(n_local, full)] = build_sharded_step(
                 self.mesh, cfg, n_local, self.slot_meta, self.eval_const,
                 self.eval_on, self.axis_name, full=full)
-        frags_d = jax.device_put(frags, self._data_sharding)
-        lens_d = jax.device_put(lens, self._data_sharding)
+        payload_d = tuple(jax.device_put(a, self._data_sharding)
+                          for a in payload)
         if self._args_d is None:
             self._args_d = tuple(jax.device_put(a, self._repl_sharding)
                                  for a in self.args)
-        return (n, n_local), step(frags_d, lens_d, *self._args_d)
+        return (n, n_local), step(*payload_d, *self._args_d)
 
     def _per_device(self, pending, resolver):
         (n, n_local), out = pending
