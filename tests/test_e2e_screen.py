@@ -187,3 +187,48 @@ def test_device_eval_resolves_windows(tmp_path, monkeypatch):
     assert state.profile["dev_evaluated"] > 0, state.profile
     # device-evaluated windows replace host exact evaluations
     assert state.profile["evaluated"] < 20, state.profile
+
+
+def test_device_path_on_n_run_genome(tmp_path, monkeypatch):
+    """End-to-end guard for the packed upload + degenerate routing: a
+    genome with assembly-gap N runs, scattered IUPAC bases and planted
+    amplicons must produce byte-identical output with the device panel
+    (which ships fragments as a 2-bit stream with an N-run/exception
+    sideband and routes degenerate windows to the host)."""
+    import random
+
+    from tntblast_tpu import cli
+
+    rng = random.Random(99)
+    seq = [rng.choice("ACGT") for _ in range(200000)]
+    # planted amplicon: forward site ... reverse-complement site
+    fwd = "TTGACCTAGATATTCAGCAAC"
+    rev = "GGGAGAGACTCACCCAAAGATC"
+    revc = rev.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+    for base_pos in (30000, 120000):
+        seq[base_pos:base_pos + len(fwd)] = fwd
+        stop = base_pos + 700
+        seq[stop:stop + len(revc)] = revc
+    # N runs (one right next to a planted site) + scattered degenerates
+    for start, ln in ((15000, 800), (30000 - 60, 50), (90000, 3000)):
+        seq[start:start + ln] = "N" * ln
+    for _ in range(200):
+        seq[rng.randrange(len(seq))] = rng.choice("RYSWKMBDHVN")
+    db = tmp_path / "nrun.fna"
+    db.write_text(">nrun\n" + "".join(seq) + "\n")
+    assays = tmp_path / "assays.txt"
+    assays.write_text(f"pcr1\t{fwd}\t{rev}\n")
+
+    monkeypatch.chdir(tmp_path)
+    argv = ["-i", str(assays), "-d", str(db), "-A", "PCR",
+            "-e", "40", "-E", "45", "-l", "2000",
+            "--max-target-len", "60000", "-v", "F"]
+    out_host = tmp_path / "host.out"
+    out_dev = tmp_path / "dev.out"
+    assert cli.local_main(argv + ["-o", str(out_host)],
+                          stdout=io.StringIO()) == 0
+    assert cli.local_main(argv + ["-o", str(out_dev), "--tpu-screen", "T"],
+                          stdout=io.StringIO()) == 0
+    host_text = out_host.read_text()
+    assert host_text == out_dev.read_text()
+    assert "pcr1" in host_text    # the planted amplicons were found
