@@ -115,21 +115,19 @@ def _device_microbench(fna, panel_path):
 
     g = mgr.groups[0]
     dp = g.device_panel(mgr._tile_len(max(len(f) for f in frags)))
-    arr, lens = dp._pack_host(frags)
-    fd = jnp.asarray(arr)
-    ld = jnp.asarray(lens)
+    payload = tuple(jnp.asarray(a) for a in dp._pack_host(frags))
     step = dp._step(len(frags), False)
 
     def sync(out):
         return np.asarray(out[0][:1])
 
-    out = step(fd, ld, *dp.args)            # compile + warm
+    out = step(*payload, *dp.args)          # compile + warm
     sync(out)
     n_kept = int(np.asarray(out[0][0]))
     reps = 6
     t0 = time.time()
     for _ in range(reps):
-        out = step(fd, ld, *dp.args)
+        out = step(*payload, *dp.args)
     sync(out)
     dt = (time.time() - t0) / reps
     return {

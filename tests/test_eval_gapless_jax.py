@@ -126,3 +126,68 @@ def test_eval_segment_bit_exact(engine, tables):
         assert out["anchor3"][b] == ref["anchor3"][b], b
 
     assert n_trusted > 0.6 * B, n_trusted
+
+
+@pytest.mark.parametrize("seed_val,ql", [(11, 15), (12, 18), (13, 22),
+                                         (14, 25), (15, 30)])
+def test_eval_segment_stress(engine, tables, seed_val, ql):
+    """Bit-exactness at scale: many window populations per oligo length —
+    perfect sites, 1-6 scattered mutations, clustered mismatches, random
+    junk — every trusted window must match the engine exactly."""
+    rng = np.random.default_rng(seed_val)
+    q = rng.integers(0, 4, ql).astype(np.uint8)
+    if seed_val % 2:
+        q[ql // 2] = 4      # inosine
+    wt = ql + 8
+    B = 192
+    t_batch = rng.integers(0, 4, (B, wt)).astype(np.int64)
+    site = (3 - q.astype(np.int64)) % 4
+    site[q == 4] = 0
+    for b in range(B):
+        mode = b % 4
+        if mode == 0:
+            off = int(rng.integers(0, wt - ql + 1))
+            t_batch[b, off:off + ql] = site[::-1]
+            for _ in range(int(rng.integers(0, 7))):
+                t_batch[b, int(rng.integers(0, wt))] = rng.integers(0, 4)
+        elif mode == 1:
+            off = 4
+            t_batch[b, off:off + ql] = site[::-1]
+            s0 = int(rng.integers(1, ql - 5))
+            m = int(rng.integers(2, 6))
+            for k in range(s0, min(s0 + m, ql - 1)):
+                cur = t_batch[b, off + k]
+                t_batch[b, off + k] = (cur + 1 + rng.integers(0, 3)) % 4
+
+    dg = engine.delta_g().astype(np.int64).reshape(-1)
+    M_rows, mg_max = _dp_rows(q, t_batch, dg)
+    tabs = build_slot_eval_arrays(q, tables)
+    out = eval_segment(np.asarray(M_rows), np.asarray(mg_max),
+                       t_batch.astype(np.int32), tabs)
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    conc = np.float32(9e-7)
+    ref = engine.eval_batch(
+        native.HETERO, [q] * B,
+        [t_batch[b].astype(np.uint8) for b in range(B)],
+        np.full(B, conc, dtype=np.float32))
+
+    n_trusted = 0
+    for b in range(B):
+        if not out["trusted"][b]:
+            continue
+        n_trusted += 1
+        if out["tm_zero"][b]:
+            assert ref["tm"][b] == np.float32(0.0), b
+            continue
+        tm, dS_final = eg.finish_eval(out["dH"][b], out["dS"][b],
+                                      int(out["num_base"][b]),
+                                      engine.na, conc)
+        assert tm == ref["tm"][b], (b, tm, ref["tm"][b])
+        assert out["dH"][b] == ref["dH"][b], b
+        assert dS_final == ref["dS"][b], b
+        assert out["anchor5"][b] == ref["anchor5"][b], b
+        assert out["anchor3"][b] == ref["anchor3"][b], b
+        q_aligned = out["lm_q"][b] - out["fm_q"][b] + 1
+        assert out["mm"][b] + (ql - q_aligned) == ref["num_mm"][b], b
+    assert n_trusted > 0.5 * B, n_trusted
