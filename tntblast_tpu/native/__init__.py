@@ -105,6 +105,7 @@ def _load():
     lib.tnt_frag_stats2.argtypes = [ctypes.c_void_p, _i64p]
     lib.tnt_frag_set_evals.argtypes = [
         ctypes.c_void_p, _u8p, ctypes.c_int, ctypes.c_int,
+        _f32p, ctypes.c_float,
         _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, ctypes.c_int64]
     lib.tnt_frag_profile.argtypes = [ctypes.c_void_p, _i64p]
     return lib
@@ -406,17 +407,20 @@ class FragSearch:
             np.float32(min_tm), np.float32(max_dg), np.float32(conc),
             q, t, len(q), int(n_screened))
 
-    def set_evals(self, oligo_codes, minus, q, t, evw):
-        """Attach device gapless-evaluation records to an injected slot
-        (tnt_frag_set_evals): evw is the (5, n) packed int32 block from
-        the device resolve, parallel to the (q, t) seed arrays."""
+    def set_evals(self, oligo_codes, minus, filt9, conc, q, t, evw):
+        """Filter an injected slot by device gapless evaluations
+        (tnt_frag_set_evals): seeds whose trusted windows fail the full
+        filter cascade are dropped before the search builds match lists.
+        evw is the (5, n) packed int32 block from the device resolve,
+        parallel to the (q, t) seed arrays."""
         oc = np.ascontiguousarray(oligo_codes, dtype=np.uint8)
         q = np.ascontiguousarray(q, dtype=np.int32)
         t = np.ascontiguousarray(t, dtype=np.int32)
+        f9 = np.ascontiguousarray(filt9, dtype=np.float32)
         rows = [np.ascontiguousarray(evw[i], dtype=np.int32)
                 for i in range(5)]
         self._lib.tnt_frag_set_evals(
-            self._h, oc, len(oc), int(bool(minus)),
+            self._h, oc, len(oc), int(bool(minus)), f9, np.float32(conc),
             q, t, rows[0], rows[1], rows[2], rows[3], rows[4], len(q))
 
     def stats2(self):

@@ -334,8 +334,10 @@ struct EvalRec {
 struct SeedSlot {
     float min_tm = 0, max_dg = 0, conc = 0;
     std::vector<std::pair<int64_t, int64_t>> seeds;   // (q_off, t_pos)
-    // trusted device evaluations keyed by plus-strand window start
-    std::unordered_map<int64_t, EvalRec> evals;
+    // eval-filtered slots (tnt_frag_set_evals) are only honored when the
+    // search's FULL filter matches the one the pruning ran under
+    bool filtered = false;
+    float filt9[9] = {0};
 };
 
 struct CacheKey {
@@ -462,19 +464,32 @@ static const std::vector<std::pair<int64_t, int64_t>>& cached_seeds(
     return it->second;
 }
 
-// Seed source for one bind/match call: a device-injected pre-screened
-// list when its proof conditions (min_tm, max_dg, conc) equal the
-// caller's filter exactly, else the host enumeration.  Exact float
-// equality is intentional — both sides compute the conditions from the
-// same Options fields through the same float32 conversions.
+// Does an injected slot's proof cover this bind call?  Screen-only
+// slots need (min_tm, max_dg, conc) equality; eval-FILTERED slots were
+// pruned under a full cascade and need the complete filter to match.
+// Exact float equality is intentional — both sides compute these from
+// the same Options fields through the same float32 conversions.
+static bool slot_matches(const SeedSlot& ss, const Filt& f, float conc)
+{
+    if (ss.conc != conc) return false;
+    if (!ss.filtered)
+        return ss.min_tm == f.min_tm && ss.max_dg == f.max_dg;
+    return ss.filt9[0] == f.min_tm && ss.filt9[1] == f.max_tm
+        && ss.filt9[2] == f.min_dg && ss.filt9[3] == f.max_dg
+        && ss.filt9[4] == (float)f.clamp_5
+        && ss.filt9[5] == (float)f.clamp_3
+        && ss.filt9[6] == (float)f.max_mm
+        && ss.filt9[7] == (float)f.max_gap
+        && ss.filt9[8] == (float)f.max_poly_degen;
+}
+
 static const std::vector<std::pair<int64_t, int64_t>>& seeds_for(
     FragCtx& ctx, const std::vector<uint8_t>* oligo, bool minus,
     const Filt& filt, float conc, bool* prescreened = nullptr)
 {
     auto& inj = ctx.injected[minus ? 1 : 0];
     auto it = inj.find(oligo);
-    if (it != inj.end() && it->second.min_tm == filt.min_tm
-        && it->second.max_dg == filt.max_dg && it->second.conc == conc) {
+    if (it != inj.end() && slot_matches(it->second, filt, conc)) {
         if (prescreened) *prescreened = true;
         return it->second.seeds;
     }
@@ -528,9 +543,7 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
         auto& inj = ctx.injected[minus ? 1 : 0];
         auto iit = inj.find(oligo);
         device_prescreened = (iit != inj.end()
-            && iit->second.min_tm == filt.min_tm
-            && iit->second.max_dg == filt.max_dg
-            && iit->second.conc == strand_conc);
+            && slot_matches(iit->second, filt, strand_conc));
     }
 
     if (direct) {
@@ -626,15 +639,6 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
         auto vit = ctx.verdicts[minus ? 1 : 0].find(oligo);
         if (vit != ctx.verdicts[minus ? 1 : 0].end()) vs = &vit->second;
     }
-    // Device gapless evaluations for this slot (only under the exact
-    // proof conditions — same guard as the injected seed list)
-    const std::unordered_map<int64_t, EvalRec>* dev_evals = nullptr;
-    if (device_prescreened) {
-        auto iit = ctx.injected[minus ? 1 : 0].find(oligo);
-        if (iit != ctx.injected[minus ? 1 : 0].end()
-            && !iit->second.evals.empty())
-            dev_evals = &iit->second.evals;
-    }
 
     struct MissItem { Key key; std::vector<uint8_t> win; };
     std::vector<MissItem> misses;
@@ -677,69 +681,6 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
                     ++ctx.screened;
                     continue;
                 }
-            }
-        }
-        // Device-computed exact evaluation (ops/eval_gapless): build the
-        // same stage-truncated CacheVal store_result would, from the
-        // device's bit-exact dH/dS/anchors.  Windows that pass every
-        // filter still get the full host evaluation (they need the
-        // rendered alignment and extents), so only rejections ride the
-        // device numbers — a device false-accept costs work, never
-        // correctness.
-        if (dev_evals != nullptr) {
-            auto eit = dev_evals->find(kk.start);
-            if (eit != dev_evals->end() && (eit->second.flags & 1)) {
-                const EvalRec& er = eit->second;
-                const Engine& eng = *ctx.eng;
-                float tm = 0.0f, dgv = 0.0f, dSs = 0.0f;
-                bool have_vals = false;
-                if (er.flags & 2) {
-                    // engine would report tm = 0 (cleared alignment);
-                    // only usable when that rejects at stage 0
-                    if (!(filt.min_tm > 0.0f)) goto dev_eval_done;
-                    tm = 0.0f;
-                } else {
-                    // salt + Tm exactly as evaluate_alignment's tail
-                    dSs = er.dS;
-                    dSs += eng.t.SALT * (0.5f * er.num_base - 1)
-                        * log(eng.na);
-                    float tmv = er.dH
-                        / (NC_R * log(strand_conc) + dSs) - NC_ZERO_C;
-                    tm = std::max(0.0f, tmv);
-                    dgv = er.dH - eng.base_T * dSs;
-                    have_vals = true;
-                }
-                {
-                    const int q_aligned = have_vals
-                        ? (int)er.lm_q - (int)er.fm_q + 1 : 0;
-                    const int mm_tot = have_vals
-                        ? (int)er.mm + (window - q_aligned) : 0;
-                    int stage;
-                    if (tm < filt.min_tm || tm > filt.max_tm) stage = 0;
-                    else if (!have_vals) stage = 7;
-                    else if (dgv < filt.min_dg || dgv > filt.max_dg)
-                        stage = 1;
-                    else if ((int)er.anchor5 < filt.clamp_5) stage = 2;
-                    else if ((int)er.anchor3 < filt.clamp_3) stage = 3;
-                    else if (mm_tot > filt.max_mm) stage = 4;
-                    else if ((int)0 > filt.max_gap) stage = 5;
-                    else if ((int)0 > filt.max_poly_degen) stage = 6;
-                    else stage = 7;
-                    if (stage < 7) {
-                        CacheVal v;
-                        v.tm = tm;
-                        if (stage >= 1) v.dg = dgv;
-                        if (stage >= 2) v.anchor_5 = (int)er.anchor5;
-                        if (stage >= 3) v.anchor_3 = (int)er.anchor3;
-                        if (stage >= 4) v.num_mm = mm_tot;
-                        if (stage >= 5) v.num_gap = 0;
-                        if (stage >= 6) v.max_poly_degen = 0;
-                        cache.emplace(ck, std::move(v));
-                        ++ctx.dev_evaluated;
-                        continue;
-                    }
-                }
-            dev_eval_done:;
             }
         }
         MissItem mi;
@@ -1505,13 +1446,20 @@ void tnt_frag_stats2(void* ctx_ptr, int64_t* dev_evaluated)
     *dev_evaluated = ((FragCtx*)ctx_ptr)->dev_evaluated;
 }
 
-// Attach device gapless-evaluation records to an injected seed slot
-// (must be called AFTER tnt_frag_set_seeds for the same slot).  Arrays
-// run parallel to the seed list; ev rows are the 5-word packed layout of
+// Filter an injected seed slot by the device's gapless evaluations
+// (must be called AFTER tnt_frag_set_seeds for the same slot, with
+// arrays parallel to the injected seed list).  A seed whose window is
+// TRUSTED and provably fails the slot's full filter cascade is removed
+// before the search ever builds match lists — the same soundness
+// argument as the screen (a window that cannot bind can never appear in
+// a bound list nor enable a pairing), applied with bit-exact device
+// evaluation.  ev rows are the 5-word packed layout of
 // parallel/device_search.py (w0 flags/counts, w1 ranges, w2 anchors,
-// w3/w4 = f32 bit patterns of dH/dS).
+// w3/w4 = f32 bit patterns of dH/dS).  Filtered slots are only honored
+// by searches whose complete filter matches filt9 (slot_matches).
 void tnt_frag_set_evals(void* ctx_ptr, const uint8_t* oligo_codes,
                         int olen, int minus,
+                        const float* filt9, float conc,
                         const int32_t* q, const int32_t* t,
                         const int32_t* w0, const int32_t* w1,
                         const int32_t* w2, const int32_t* w3,
@@ -1522,28 +1470,63 @@ void tnt_frag_set_evals(void* ctx_ptr, const uint8_t* oligo_codes,
     auto it = ctx.injected[minus ? 1 : 0].find(oligo);
     if (it == ctx.injected[minus ? 1 : 0].end()) return;
     SeedSlot& ss = it->second;
-    const int64_t seq_size = (int64_t)ctx.seq.size();
+    if ((int64_t)ss.seeds.size() != n) return;   // arrays must parallel
+    const Engine& eng = *ctx.eng;
+
+    Filt f;
+    f.min_tm = filt9[0]; f.max_tm = filt9[1];
+    f.min_dg = filt9[2]; f.max_dg = filt9[3];
+    f.clamp_5 = (int)filt9[4]; f.clamp_3 = (int)filt9[5];
+    f.max_mm = (int)filt9[6]; f.max_gap = (int)filt9[7];
+    f.max_poly_degen = (int)filt9[8];
+
+    std::vector<std::pair<int64_t, int64_t>> kept;
+    kept.reserve((size_t)n);
     for (int64_t i = 0; i < n; ++i) {
-        if (!(w0[i] & 1)) continue;        // untrusted -> host evaluates
-        int64_t start = t[i] - (q[i] + NUM_FLANK_BASE_C);
-        if (start < 0) start = 0;
-        EvalRec er;
-        er.flags = (uint8_t)(w0[i] & 3);
-        er.num_base = (uint8_t)((w0[i] >> 2) & 0xFF);
-        er.mm = (uint8_t)((w0[i] >> 10) & 0x3F);
-        er.align_len = (uint8_t)((w0[i] >> 16) & 0x3F);
-        er.fm_q = (uint8_t)(w1[i] & 0xFF);
-        er.fm_t = (uint8_t)((w1[i] >> 8) & 0xFF);
-        er.lm_q = (uint8_t)((w1[i] >> 16) & 0xFF);
-        er.lm_t = (uint8_t)((w1[i] >> 24) & 0xFF);
-        er.anchor5 = (uint8_t)(w2[i] & 0xFF);
-        er.anchor3 = (uint8_t)((w2[i] >> 8) & 0xFF);
-        std::memcpy(&er.dH, &w3[i], 4);
-        std::memcpy(&er.dS, &w4[i], 4);
-        (void)seq_size;
-        ss.evals.emplace(start, er);
+        if (!(w0[i] & 1)) {               // untrusted: host evaluates
+            kept.push_back(ss.seeds[i]);
+            continue;
+        }
+        bool drop = false;
+        if (w0[i] & 2) {
+            // the engine would report tm = 0 for this window: rejected
+            // at stage 0 whenever a positive Tm threshold is in force
+            drop = (f.min_tm > 0.0f);
+        } else {
+            EvalRec er;
+            er.num_base = (uint8_t)((w0[i] >> 2) & 0xFF);
+            er.mm = (uint8_t)((w0[i] >> 10) & 0x3F);
+            er.fm_q = (uint8_t)(w1[i] & 0xFF);
+            er.lm_q = (uint8_t)((w1[i] >> 16) & 0xFF);
+            er.anchor5 = (uint8_t)(w2[i] & 0xFF);
+            er.anchor3 = (uint8_t)((w2[i] >> 8) & 0xFF);
+            std::memcpy(&er.dH, &w3[i], 4);
+            std::memcpy(&er.dS, &w4[i], 4);
+            // salt + Tm exactly as evaluate_alignment's tail
+            float dSs = er.dS;
+            dSs += eng.t.SALT * (0.5f * er.num_base - 1) * log(eng.na);
+            const float tm = std::max(
+                0.0f, er.dH / (NC_R * log(conc) + dSs) - NC_ZERO_C);
+            const float dgv = er.dH - eng.base_T * dSs;
+            const int q_aligned = (int)er.lm_q - (int)er.fm_q + 1;
+            const int mm_tot = (int)er.mm + (olen - q_aligned);
+            drop = (tm < f.min_tm || tm > f.max_tm)
+                || (dgv < f.min_dg || dgv > f.max_dg)
+                || ((int)er.anchor5 < f.clamp_5)
+                || ((int)er.anchor3 < f.clamp_3)
+                || (mm_tot > f.max_mm)
+                || (0 > f.max_gap) || (0 > f.max_poly_degen);
+        }
+        if (drop)
+            ++ctx.dev_evaluated;
+        else
+            kept.push_back(ss.seeds[i]);
     }
+    ss.seeds.swap(kept);
+    ss.filtered = true;
+    for (int k = 0; k < 9; ++k) ss.filt9[k] = filt9[k];
 }
+
 
 // Phase cycle counters (rdtsc): [index, seed, extract, dp, tm, sort, pair]
 void tnt_frag_profile(void* ctx_ptr, int64_t* out8)

@@ -28,17 +28,39 @@ MAX_SLOTS = 64          # slots per device panel group
 MAX_CAP = 1 << 17       # candidate capacity ceiling per call
 
 
+FILT_FIELDS = ("min_tm", "max_tm", "min_dg", "max_dg", "clamp_5",
+               "clamp_3", "max_mm", "max_gap", "max_poly_degen")
+
+
+def filt9(filt):
+    """Canonical 9-tuple of a filter dict (the C ABI filt9 layout)."""
+    return tuple(float(filt[f]) for f in FILT_FIELDS)
+
+
 def slot_key(oligo, minus, filt, conc):
-    return (oligo, bool(minus), float(filt["min_tm"]),
-            float(filt["max_dg"]), float(conc))
+    """One device slot per (oligo, strand, FULL filter, concentration):
+    the eval-filtered seed injection prunes seeds under the slot's
+    complete cascade, so slots with different clamps/mismatch caps must
+    not share (e.g. padlock arm variants of the same oligo)."""
+    return (oligo, bool(minus), filt9(filt), float(conc))
 
 
 def primer_filt_of(opt):
-    return dict(min_tm=opt.min_primer_tm, max_dg=opt.max_primer_dg)
+    """Full primer filter (native_assays.search_assay primer_filt)."""
+    return dict(min_tm=opt.min_primer_tm, max_tm=opt.max_primer_tm,
+                min_dg=opt.min_primer_dg, max_dg=opt.max_primer_dg,
+                clamp_5=0, clamp_3=opt.primer_clamp,
+                max_mm=opt.max_mismatch, max_gap=opt.max_gap,
+                max_poly_degen=opt.max_poly_degen)
 
 
 def probe_filt_of(opt):
-    return dict(min_tm=opt.min_probe_tm, max_dg=opt.max_probe_dg)
+    """Full probe filter (native_assays.search_assay probe_filt)."""
+    return dict(min_tm=opt.min_probe_tm, max_tm=opt.max_probe_tm,
+                min_dg=opt.min_probe_dg, max_dg=opt.max_probe_dg,
+                clamp_5=opt.probe_clamp_5, clamp_3=opt.probe_clamp_3,
+                max_mm=opt.max_mismatch, max_gap=opt.max_gap,
+                max_poly_degen=opt.max_poly_degen)
 
 
 def collect_slots(opt):
@@ -78,9 +100,13 @@ def collect_slots(opt):
                     for minus in (True, False):
                         add(sig.probe_oligo, minus, bf, pconc)
             elif opt.assay_format in (C.ASSAY_PADLOCK, C.ASSAY_MIPS):
+                # arm-specific ligation clamps (frag_search search_padlock:
+                # upstream arm clamp_3=0, downstream arm clamp_5=0)
+                up_filt = dict(bf, clamp_3=0)
+                down_filt = dict(bf, clamp_5=0)
                 for minus in strands:
-                    add(sig.reverse_oligo, minus, bf, rconc)
-                    add(sig.forward_oligo, minus, bf, fconc)
+                    add(sig.reverse_oligo, minus, up_filt, rconc)
+                    add(sig.forward_oligo, minus, down_filt, fconc)
         elif sig.has_probe():
             pconc = opt.probe_strand / sig.probe_degen
             for minus in strands:

@@ -27,16 +27,18 @@ class NativeFragContext:
             # (parallel/panel.py): the native search skips both host
             # seeding and the exact evaluation of screened-out windows
             # for every slot present.  Trusted gapless evaluations ride
-            # along (tnt_frag_set_evals): the native search then skips
-            # the DP + traceback + exact re-scoring for those windows
-            # too, re-evaluating in full only filter-passing survivors.
+            # along (tnt_frag_set_evals): seeds whose windows PROVABLY
+            # fail the slot's full filter cascade are dropped from the
+            # injected list before the search ever builds match lists -
+            # the same soundness argument as the screen, now applied
+            # with the device's bit-exact evaluation.
             for key, (q, t, n_screened, ev) in panel_result.items():
-                oligo, minus, min_tm, max_dg, conc = key
+                oligo, minus, f9, conc = key
                 codes = _codes(oligo)
-                self.frag.set_seeds(codes, minus, min_tm, max_dg,
+                self.frag.set_seeds(codes, minus, f9[0], f9[3],
                                     conc, q, t, n_screened)
                 if ev is not None and len(q):
-                    self.frag.set_evals(codes, minus, q, t, ev)
+                    self.frag.set_evals(codes, minus, f9, conc, q, t, ev)
 
     def close(self):
         self.frag.close()
