@@ -6,9 +6,11 @@ batched native melt engine: the work-scheduling counters, fragment overlap
 and edge culling, per-hit secondary-structure Tms and the result
 accumulation order are all preserved so the final hit list is bit-identical.
 
-The TPU batch path plugs in underneath bind_oligo (all candidate windows of
-a fragment are evaluated in one batch); the control flow here is the
-host-side orchestration layer.
+The TPU path plugs in underneath the native search: the fragment panel
+(parallel/panel.py) seeds, screens and exactly evaluates candidate
+windows in device batches, and the injected per-slot seed lists arrive
+already filtered by the device's bit-exact evaluation; this module is
+the host-side orchestration layer.
 """
 
 import sys
