@@ -232,3 +232,43 @@ def test_device_path_on_n_run_genome(tmp_path, monkeypatch):
     host_text = out_host.read_text()
     assert host_text == out_dev.read_text()
     assert "pcr1" in host_text    # the planted amplicons were found
+
+
+def test_padlock_swapped_arm_roles_device(tmp_path, monkeypatch):
+    """An oligo used as the DOWNSTREAM arm in one assay and the UPSTREAM
+    arm in another gets two slots with different ligation-clamp filters;
+    the injected-slot map is keyed per (oligo, strand), so one slot wins
+    and the other search must detect the full-filter mismatch and fall
+    back to host seeding — output must stay byte-identical either way."""
+    import random
+
+    from tntblast_tpu import cli
+
+    rng = random.Random(5)
+    up = "TTGACCTAGATATTCAGCAAC"
+    down = "GGGAGAGACTCACCCAAAGATC"
+    seq = [rng.choice("ACGT") for _ in range(60000)]
+    # adjacent ligation site for (down, up) on the minus strand:
+    # plus strand carries down then up back-to-back
+    site = down + up
+    seq[20000:20000 + len(site)] = site
+    # and the swapped arrangement elsewhere
+    site2 = up + down
+    seq[40000:40000 + len(site2)] = site2
+    db = tmp_path / "pad.fna"
+    db.write_text(">pad\n" + "".join(seq) + "\n")
+    assays = tmp_path / "assays.txt"
+    assays.write_text(f"padA\t{down}\t{up}\npadB\t{up}\t{down}\n")
+
+    monkeypatch.chdir(tmp_path)
+    argv = ["-i", str(assays), "-d", str(db), "-A", "PADLOCK",
+            "-E", "40", "--probe-clamp5", "2", "-v", "F"]
+    out_host = tmp_path / "host.out"
+    out_dev = tmp_path / "dev.out"
+    assert cli.local_main(argv + ["-o", str(out_host)],
+                          stdout=io.StringIO()) == 0
+    assert cli.local_main(argv + ["-o", str(out_dev), "--tpu-screen", "T"],
+                          stdout=io.StringIO()) == 0
+    host_text = out_host.read_text()
+    assert host_text == out_dev.read_text()
+    assert "padA" in host_text and "padB" in host_text
