@@ -275,15 +275,23 @@ class FragmentPanelManager:
     def submit_batch(self, frag_code_list):
         """Enqueue one batched device step for a batch of fragments: one
         launch per panel group covers up to `batch` fragments (sharded
-        across the mesh, or a vmap batch on a single chip).  Returns a
+        across the mesh, or a vmap batch on a single chip).  Partial
+        batches are padded with empty (inert) fragments so a run only
+        ever compiles ONE program shape — the XLA compile costs
+        45-180 s through the tunnel's compile service.  Returns a
         pending object for `resolve_batch`."""
+        import numpy as np
+        n = len(frag_code_list)
+        padded = list(frag_code_list)
+        if n < self.batch:
+            padded += [np.zeros(0, np.uint8)] * (self.batch - n)
         tile = self._tile_len(max(len(f) for f in frag_code_list))
-        self.stats["fragments"] += len(frag_code_list)
+        self.stats["fragments"] += n
         out = []
         for g in self.groups:
             dp = g.device_panel(tile, mesh=self.mesh)
-            out.append((g, dp, dp.submit_fragments(frag_code_list)))
-        return (len(frag_code_list), out)
+            out.append((g, dp, dp.submit_fragments(padded)))
+        return (n, out)
 
     def resolve_batch(self, pending):
         """List of per-fragment slot dicts for a submit_batch call."""
