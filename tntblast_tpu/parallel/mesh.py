@@ -29,7 +29,6 @@ from tntblast_tpu.jaxconf import configure as _jaxconf
 _jaxconf()
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tntblast_tpu import constants as C
