@@ -500,6 +500,24 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
             valid.reshape(n, cap))
 
 
+@functools.lru_cache(maxsize=None)
+def _panel_step(cfg_key, slot_meta, eval_const, n_frags, eval_on, full):
+    """Module-level jit cache: the SAME compiled program serves every
+    DevicePanel instance with identical static configuration — a fresh
+    panel per search (e.g. every bench iteration) must not retrace or
+    recompile (jax.jit caches by function identity, so the jit object
+    itself has to be shared)."""
+    (word_len, num_os, max_words, wq_max, tile_len, cap, num_cond,
+     kcap) = cfg_key
+    return jax.jit(functools.partial(
+        panel_step_core,
+        slot_meta=slot_meta, eval_const=eval_const,
+        word_len=word_len, num_os=num_os, max_words=max_words,
+        wq_max=wq_max, tile_len=tile_len, cap=cap,
+        kcap=kcap, num_cond=num_cond, n_frags=n_frags,
+        eval_on=eval_on, full=full))
+
+
 class DevicePanel:
     """Host-side wrapper: packs an oligo panel once, runs fragment batches."""
 
@@ -559,19 +577,9 @@ class DevicePanel:
         self._steps = {}
 
     def _step(self, n_frags, full):
-        fn = self._steps.get((n_frags, full))
-        if fn is None:
-            cfg = self.config
-            fn = jax.jit(functools.partial(
-                panel_step_core,
-                slot_meta=self.slot_meta, eval_const=self.eval_const,
-                word_len=cfg.word_len,
-                num_os=cfg.num_os, max_words=cfg.max_words,
-                wq_max=cfg.wq_max, tile_len=cfg.tile_len, cap=cfg.cap,
-                kcap=cfg.kcap, num_cond=cfg.num_cond, n_frags=n_frags,
-                eval_on=self.eval_on, full=full))
-            self._steps[(n_frags, full)] = fn
-        return fn
+        cfg = self.config
+        return _panel_step(cfg.key(), self.slot_meta, self.eval_const,
+                           n_frags, self.eval_on, full)
 
     # host->device payload compression: fragments ride as a 2-bit base
     # stream (4 bases/byte) plus a sideband of N-runs and scattered

@@ -37,18 +37,37 @@ from tntblast_tpu.parallel.device_search import (
 
 
 def make_mesh(devices=None, axis_name="data"):
-    """1-D data-parallel mesh over all (or the given) devices."""
+    """1-D data-parallel mesh over all (or the given) devices.  Cached:
+    a fresh Mesh object per search would defeat the jit cache of the
+    sharded step (retrace on every run)."""
     if devices is None:
         devices = jax.devices()
+    return _mesh_cached(tuple(devices), axis_name)
+
+
+@functools.lru_cache(maxsize=None)
+def _mesh_cached(devices, axis_name):
     return Mesh(np.asarray(devices), (axis_name,))
 
 
 def build_sharded_step(mesh, cfg: PanelConfig, n_local, slot_meta,
                        eval_const, eval_on, axis_name="data", full=False):
-    """jit-compiled SPMD step: (n_dev * n_local, tile_len) fragments
-    sharded over the mesh; each device runs the pooled panel step on its
-    local shard, and every output is all_gathered (replicated) so the
+    return _sharded_step_cached(mesh, cfg.key(), n_local, slot_meta,
+                                eval_const, eval_on, axis_name, full)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_step_cached(mesh, cfg_key, n_local, slot_meta,
+                         eval_const, eval_on, axis_name, full):
+    """jit-compiled SPMD step, shared across MeshPanel instances (jax
+    Mesh is hashable): (n_dev * n_local, tile_len) fragments sharded
+    over the mesh; each device runs the pooled panel step on its local
+    shard, and every output is all_gathered (replicated) so the
     coordinator host resolves one buffer per device."""
+    cfg = PanelConfig(word_len=cfg_key[0], num_os=cfg_key[1],
+                      max_words=cfg_key[2], wq_max=cfg_key[3],
+                      tile_len=cfg_key[4], cap=cfg_key[5],
+                      num_cond=cfg_key[6], kcap=cfg_key[7])
     step = functools.partial(
         panel_step_core,
         slot_meta=slot_meta, eval_const=eval_const,
