@@ -72,7 +72,9 @@ def eval_segment(M_rows, mg_max, tcodes, tabs):
     """
     ql, Bs, wtp1 = M_rows.shape
     wt = wtp1 - 1
-    q = np.asarray(tabs["q"], dtype=np.int32)
+    # q may be a static tuple (per-slot call) or a traced (ql,) array
+    # (shape-grouped vmap over slots in the panel step)
+    q = jnp.asarray(tabs["q"], dtype=jnp.int32)
 
     # ---- best cell + uniqueness ----------------------------------------
     flatM = jnp.moveaxis(M_rows, 1, 0).reshape(Bs, ql * wtp1)

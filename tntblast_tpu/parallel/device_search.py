@@ -280,40 +280,60 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
     tc_all = (jnp.concatenate([t_canon, t_canon_eval[None]], axis=0)
               if eval_on else t_canon)
 
-    # --- per-slot screening DP (unrolled; static shapes per slot) --------
-    keep_segs, nh_segs, segpos_segs, ev_segs = [], [], [], []
+    # --- per-slot screening DP, vmapped over oligo-length groups ---------
+    # The step is loop-dispatch-bound on TPU, not compute-bound
+    # (BASELINE.md round-4 decomposition): one sequential lax.scan per
+    # slot serializes ~n_real * wq tiny loop bodies.  Slots with the
+    # same oligo length share every shape, so `minus` becomes per-slot
+    # data and the whole slot (scan, filters, eval channel) runs under
+    # one vmap per distinct length — a handful of scans regardless of
+    # panel size.
+    groups = {}
     for s, meta_s in enumerate(slot_meta):
-        (ol, minus, qp, n_words, q_codes) = meta_s
-        Bs = seg_caps[s]
+        groups.setdefault(meta_s[0], []).append(s)
+
+    keep_segs = [None] * n_real
+    nh_segs = [None] * n_real
+    segpos_segs = [None] * n_real
+    ev_segs = [None] * n_real
+    for ol, g_slots in sorted(groups.items()):
+        Gs = len(g_slots)
         wq_s = ol
         wt_s = ol + 2 * C.NUM_FLANK_BASE
-        start_s = seg_start[s]
-        cnt_s = jnp.minimum(slot_counts[s], Bs)
-        pp = jax.lax.dynamic_slice(p_sorted, (start_s,), (Bs,))
-        fi = jax.lax.dynamic_slice(frag_sorted, (start_s,), (Bs,))
-        seg_valid = jnp.arange(Bs) < cnt_s
+        Bs = max(seg_caps[s] for s in g_slots)    # group DP capacity
+        sl = np.asarray(g_slots, dtype=np.int32)
+        cap_g = jnp.asarray([seg_caps[s] for s in g_slots], jnp.int32)
+        cnt_g = jnp.minimum(slot_counts[sl], cap_g)
+        minus_g = jnp.asarray([slot_meta[s][1] for s in g_slots])
+        pp_g = jnp.stack([jax.lax.dynamic_slice(
+            p_sorted, (seg_start[s],), (Bs,)) for s in g_slots])
+        fi_g = jnp.stack([jax.lax.dynamic_slice(
+            frag_sorted, (seg_start[s],), (Bs,)) for s in g_slots])
+        seg_valid_g = jnp.arange(Bs)[None, :] < cnt_g[:, None]
 
-        # static energy operand: T_slot[v, (r, c, e)] = t_canon[c, v, qp_r, e]
-        qp_idx = jnp.asarray(qp, jnp.int32)               # (wq_s,)
-        Ts = tc_all[:, :, qp_idx, :]                      # (nc', 30, wq_s, 7)
-        Ts = jnp.transpose(Ts, (1, 2, 0, 3)).reshape(
-            30, wq_s * nc_all * 7).astype(jnp.float32)
-        thr_s = thresholds[:, s]                          # (nc,)
+        # per-slot energy operand: T[v, (r, c, e)] = t_canon[c, v, qp_r, e]
+        qp_g = np.asarray([slot_meta[s][2] for s in g_slots], np.int32)
+        Ts_g = tc_all[:, :, jnp.asarray(qp_g), :]    # (nc',30,Gs,wq,7)
+        Ts_g = jnp.transpose(Ts_g, (2, 1, 3, 0, 4)).reshape(
+            Gs, 30, wq_s * nc_all * 7).astype(jnp.float32)
+        thr_g = thresholds[:, sl].T                  # (Gs, nc)
         if eval_on:
-            tabs_s = {
-                "Hstk": eval_tabs[s, :ol, :, 0],
-                "Sstk": eval_tabs[s, :ol, :, 1],
-                "Hlt": eval_tabs[s, :ol, :, 2],
-                "Slt": eval_tabs[s, :ol, :, 3],
-                "loop2m": eval_loop2m[s, :ol + 1],
+            tabs_g = {
+                "Hstk": eval_tabs[sl, :ol, :, 0],
+                "Sstk": eval_tabs[sl, :ol, :, 1],
+                "Hlt": eval_tabs[sl, :ol, :, 2],
+                "Slt": eval_tabs[sl, :ol, :, 3],
+                "loop2m": eval_loop2m[sl, :ol + 1],
                 "AT_H": eval_const[0], "AT_S": eval_const[1],
                 "init_H": eval_const[2], "init_S": eval_const[3],
-                "q": q_codes,
+                "q": jnp.asarray([slot_meta[s][4] for s in g_slots],
+                                 jnp.int32),
             }
+        else:
+            tabs_g = None
 
-        def run_seg(args, *, Bs=Bs, wq_s=wq_s, wt_s=wt_s, minus=minus,
-                    ol=ol, s=s):
-            pp, fi, seg_valid, Ts, thr_s = args
+        def run_seg(pp, fi, seg_valid, Ts, thr_s, minus, tabs_s, *,
+                    Bs=Bs, wq_s=wq_s, wt_s=wt_s, ol=ol):
             flen = frag_lens[fi]
             start = pp - C.NUM_FLANK_BASE
             full_win = (start >= 0) & (start + wt_s <= flen)
@@ -321,12 +341,11 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
             jj = jnp.arange(wt_s, dtype=jnp.int32)[None, :]
             gidx = fi[:, None] * L + start_c[:, None] + jj
             wcod = frags_flat[gidx].astype(jnp.int32)     # consecutive
-            if minus:
-                wrev = jnp.flip(wcod, axis=1)
-                melt = jnp.where(wrev <= C.DB_MAX_ATGC, 3 - wrev,
-                                 jnp.where(wrev == C.DB_I, 4, 99))
-            else:
-                melt = jnp.where(wcod <= C.DB_I, wcod, 99)
+            wrev = jnp.flip(wcod, axis=1)
+            melt_m = jnp.where(wrev <= C.DB_MAX_ATGC, 3 - wrev,
+                               jnp.where(wrev == C.DB_I, 4, 99))
+            melt_p = jnp.where(wcod <= C.DB_I, wcod, 99)
+            melt = jnp.where(minus, melt_m, melt_p)
             needs_host = (~full_win) | jnp.any(melt > 4, axis=1)
             tb5 = jnp.where(melt <= 4, melt, 0)
 
@@ -422,20 +441,31 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
             return ((keep | needs_host) & seg_valid,
                     needs_host & seg_valid, evw)
 
-        def skip_seg(args, *, Bs=Bs):
-            return (jnp.zeros(Bs, bool), jnp.zeros(Bs, bool),
-                    jnp.zeros((Bs, 5), jnp.int32))
+        tabs_ax = ({"Hstk": 0, "Sstk": 0, "Hlt": 0, "Slt": 0,
+                    "loop2m": 0, "AT_H": None, "AT_S": None,
+                    "init_H": None, "init_S": None, "q": 0}
+                   if eval_on else None)
+        run_g = jax.vmap(run_seg, in_axes=(0, 0, 0, 0, 0, 0, tabs_ax))
 
-        keep_s, nh_s, ev_s = jax.lax.cond(
-            cnt_s > 0, run_seg, skip_seg,
-            (pp, fi, seg_valid, Ts, thr_s))
-        # an overflowed slot contributes nothing (host fallback)
-        if num_cond:
-            keep_s = keep_s & (slot_counts[s] <= seg_caps[s])
-        keep_segs.append(keep_s)
-        nh_segs.append(nh_s)
-        ev_segs.append(ev_s)
-        segpos_segs.append(start_s + jnp.arange(Bs, dtype=jnp.int32))
+        def go_group(args):
+            return run_g(*args)
+
+        def skip_group(args, *, Gs=Gs, Bs=Bs):
+            return (jnp.zeros((Gs, Bs), bool), jnp.zeros((Gs, Bs), bool),
+                    jnp.zeros((Gs, Bs, 5), jnp.int32))
+
+        keep_g, nh_g, ev_g = jax.lax.cond(
+            jnp.any(cnt_g > 0), go_group, skip_group,
+            (pp_g, fi_g, seg_valid_g, Ts_g, thr_g, minus_g, tabs_g))
+        for gi, s in enumerate(g_slots):
+            keep_s = keep_g[gi]
+            # an overflowed slot contributes nothing (host fallback)
+            if num_cond:
+                keep_s = keep_s & (slot_counts[s] <= seg_caps[s])
+            keep_segs[s] = keep_s
+            nh_segs[s] = nh_g[gi]
+            ev_segs[s] = ev_g[gi]
+            segpos_segs[s] = seg_start[s] + jnp.arange(Bs, dtype=jnp.int32)
 
     if keep_segs:
         keep_all = jnp.concatenate(keep_segs)
