@@ -96,9 +96,17 @@ class PanelConfig:
                 self.tile_len, self.cap, self.num_cond, self.kcap)
 
 
-def _seed_fragment(frag_codes, frag_len, oligo_words, *, word_len,
-                   num_os, max_words, tile_len, cap):
+def _seed_fragment(frag_codes, frag_len, oligo_words, w_table, *,
+                   word_len, num_os, max_words, tile_len, cap):
     """Seeding + two-stage compaction for ONE fragment.
+
+    w_table: (4^word_len, num_os) int32 word-value -> per-slot k-bitmask
+      lookup (bit k set iff oligo word k equals the value), or a (1,
+      num_os) dummy when the table is gated off (see DevicePanel) — the
+      static shape selects the path at trace time.  The table path
+      replaces the dense (positions x slots x words) compare loop with
+      one 1-D any-match gather plus compaction-then-scatter over the
+      actual matches (~50x less element traffic on the bench panel).
 
     Returns (slot, p, n_cand, counts, overflow, word, word_valid):
       slot/p: (cap,) int32 compacted (diagonal-ascending, slot-minor)
@@ -125,14 +133,42 @@ def _seed_fragment(frag_codes, frag_len, oligo_words, *, word_len,
     # --- seed diagonals ---------------------------------------------------
     # diagonal index space: p in [-(max_words-1), L) -> idx = p + max_words
     PL = L + max_words
-    seeds = jnp.zeros((PL, num_os), dtype=bool)
-    for k in range(max_words):
-        ow = oligo_words[:, k]                       # (num_os,)
-        active = (ow >= 0)
-        m = word_valid[:, None] & (word[:, None] == ow[None, :]) \
-            & active[None, :]                        # (nw_pos, num_os)
-        off = max_words - k
-        seeds = seeds.at[off:off + nw_pos].set(seeds[off:off + nw_pos] | m)
+    over_t = jnp.asarray(False)
+    if w_table.shape[0] > 1:
+        # any-match per position (1-D gather; a_any is unbatched under
+        # the fragment vmap, computed once per call)
+        a_any = (w_table != 0).any(axis=1)
+        any_m = a_any[word] & word_valid
+        (widx,) = jnp.nonzero(any_m, size=cap, fill_value=nw_pos)
+        w_ok = widx < nw_pos
+        wsel = jnp.clip(widx, 0, nw_pos - 1)
+        masks = jnp.where(w_ok[:, None], w_table[word[wsel]], 0)
+        # (position, slot) pairs with >= 1 word match
+        (pidx,) = jnp.nonzero((masks != 0).reshape(-1), size=cap,
+                              fill_value=cap * num_os)
+        p_ok = pidx < cap * num_os
+        pc = jnp.clip(pidx, 0, cap * num_os - 1)
+        ppos = wsel[pc // num_os]
+        po = pc % num_os
+        pmask = jnp.where(p_ok, masks.reshape(-1)[pc], 0)
+        kk = jnp.arange(max_words, dtype=jnp.int32)
+        kbit = ((pmask[:, None] >> kk[None, :]) & 1) > 0    # (cap, mw)
+        didx = ppos[:, None] + (max_words - kk)[None, :]
+        flat = jnp.where(kbit, didx * num_os + po[:, None],
+                         PL * num_os)
+        seeds = jnp.zeros(PL * num_os, dtype=bool).at[
+            flat.reshape(-1)].set(True, mode="drop").reshape(PL, num_os)
+        over_t = (any_m.sum() > cap) | ((masks != 0).sum() > cap)
+    else:
+        seeds = jnp.zeros((PL, num_os), dtype=bool)
+        for k in range(max_words):
+            ow = oligo_words[:, k]                   # (num_os,)
+            active = (ow >= 0)
+            m = word_valid[:, None] & (word[:, None] == ow[None, :]) \
+                & active[None, :]                    # (nw_pos, num_os)
+            off = max_words - k
+            seeds = seeds.at[off:off + nw_pos].set(
+                seeds[off:off + nw_pos] | m)
 
     counts = seeds.sum(axis=0).astype(jnp.int32)
 
@@ -151,7 +187,7 @@ def _seed_fragment(frag_codes, frag_len, oligo_words, *, word_len,
         jnp.int32)
     p = jnp.where(cvalid, p, 0)
     n_cand = sub.sum().astype(jnp.int32)
-    overflow = (n_pos > cap) | (counts.sum() > cap)
+    overflow = over_t | (n_pos > cap) | (counts.sum() > cap)
     return slot, p, n_cand, counts, overflow, word, word_valid
 
 
@@ -169,7 +205,7 @@ def _slot_segment_caps(slot_meta, n_frags, tile_len, word_len):
 
 
 def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
-                    input_over, oligo_words, t_canon, thresholds,
+                    input_over, oligo_words, w_table, t_canon, thresholds,
                     t_canon_eval, eval_tabs, eval_loop2m,
                     *, slot_meta, eval_const, word_len, num_os, max_words,
                     wq_max, tile_len, cap, kcap, num_cond, n_frags,
@@ -247,8 +283,8 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
         _seed_fragment, word_len=word_len, num_os=num_os,
         max_words=max_words, tile_len=tile_len, cap=cap)
     (slot, p, n_cand, counts, overflow, word,
-     word_valid) = jax.vmap(seed, in_axes=(0, 0, None))(
-        frags, frag_lens, oligo_words)
+     word_valid) = jax.vmap(seed, in_axes=(0, 0, None, None))(
+        frags, frag_lens, oligo_words, w_table)
     overflow = overflow | input_over
 
     # --- pooled candidate stream, slot-major via stable sort -------------
@@ -601,7 +637,19 @@ class DevicePanel:
                          for c in range(cfg.num_cond)])
         tcan_eval = (build_t_canon(eval_dg) if self.eval_on
                      else np.zeros((30, 30, 7), np.int32))
-        self.args = (jnp.asarray(ow), jnp.asarray(tcan), jnp.asarray(thr),
+        # word -> per-slot k-bitmask lookup (fast seeding path); gated by
+        # table size and bitmask width, with a (1, num_os) dummy that
+        # statically selects the dense compare fallback in _seed_fragment
+        tw = 4 ** cfg.word_len
+        if tw * cfg.num_os <= (16 << 20) and cfg.max_words <= 31:
+            w_tab = np.zeros((tw, cfg.num_os), np.int32)
+            for i, o in enumerate(panel):
+                for k, v in enumerate(o["words"]):
+                    w_tab[int(v), i] |= (1 << k)
+        else:
+            w_tab = np.zeros((1, cfg.num_os), np.int32)
+        self.args = (jnp.asarray(ow), jnp.asarray(w_tab),
+                     jnp.asarray(tcan), jnp.asarray(thr),
                      jnp.asarray(tcan_eval), jnp.asarray(ev_tabs),
                      jnp.asarray(ev_loop))
         self._steps = {}

@@ -77,9 +77,9 @@ def _sharded_step_cached(mesh, cfg_key, n_local, slot_meta,
         n_frags=n_local, eval_on=eval_on, full=full)
 
     def local_shard(fp, frag_lens, rs, re_, ep, ec, iov,
-                    ow, tcan, thr, tce, evt, evl):
+                    ow, wtab, tcan, thr, tce, evt, evl):
         out = step(fp, frag_lens, rs, re_, ep, ec, iov,
-                   ow, tcan, thr, tce, evt, evl)
+                   ow, wtab, tcan, thr, tce, evt, evl)
         # one collective per output: device blocks stacked in mesh order
         return tuple(jax.lax.all_gather(x, axis_name, axis=0)
                      for x in out)
@@ -87,7 +87,7 @@ def _sharded_step_cached(mesh, cfg_key, n_local, slot_meta,
     n_out = 7
     sharded = jax.shard_map(
         local_shard, mesh=mesh,
-        in_specs=tuple([P(axis_name)] * 7 + [P()] * 6),
+        in_specs=tuple([P(axis_name)] * 7 + [P()] * 7),
         out_specs=tuple(P() for _ in range(n_out)),
         # the DP scan's carry-init constants are unvarying on the data
         # axis by construction; skip the varying-manual-axes check
