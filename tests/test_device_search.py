@@ -239,3 +239,49 @@ def test_packed_payload_n_runs_and_overflow(engine):
     frag2[::9] = rng.integers(4, 16, len(frag2[::9]))   # ~3300 exceptions
     out2 = panel.run_fragment(frag2)
     assert out2["overflow"], "sideband overflow must force host fallback"
+
+
+def test_seed_table_and_dense_paths_agree(engine):
+    """The word-table seeding path (gather + compaction + scatter) and
+    the dense compare-loop fallback (selected statically by a dummy
+    (1, num_os) table — the gate in DevicePanel) must produce identical
+    seeds, counts, and overflow on the same fragment."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from tntblast_tpu.parallel.device_search import _seed_fragment
+
+    rng = np.random.default_rng(11)
+    frag = rng.integers(0, 4, 8192).astype(np.uint8)
+    for pos in rng.integers(0, 8192, 20):
+        frag[pos] = rng.integers(4, 18)
+
+    fwd = "TTGACCTAGATATTCAGCAAC"
+    rev = "GGGAGAGACTCACCCAAAGATC"
+    oligos = [(fwd, True), (fwd, False), (rev, True), (rev, False)]
+    w = 7
+    panel = _mk_panel(oligos, w)
+    num_os, max_words, cap, L = 4, 16, 512, 8192
+
+    ow = np.full((num_os, max_words), -1, np.int32)
+    w_tab = np.zeros((4 ** w, num_os), np.int32)
+    for i, o in enumerate(panel):
+        for k, v in enumerate(o["words"]):
+            ow[i, k] = v
+            w_tab[int(v), i] |= (1 << k)
+    dummy = np.zeros((1, num_os), np.int32)
+
+    run = jax.jit(functools.partial(
+        _seed_fragment, word_len=w, num_os=num_os, max_words=max_words,
+        tile_len=L, cap=cap))
+    a = run(jnp.asarray(frag), jnp.int32(L), jnp.asarray(ow),
+            jnp.asarray(w_tab))
+    b = run(jnp.asarray(frag), jnp.int32(L), jnp.asarray(ow),
+            jnp.asarray(dummy))
+    names = ["slot", "p", "n_cand", "counts", "overflow", "word",
+             "word_valid"]
+    for name, x, y in zip(names, a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), name)
+    assert int(a[2]) > 0          # the fragment actually has seeds
