@@ -156,9 +156,19 @@ def _seed_fragment(frag_codes, frag_len, oligo_words, w_table, *,
         didx = ppos[:, None] + (max_words - kk)[None, :]
         flat = jnp.where(kbit, didx * num_os + po[:, None],
                          PL * num_os)
+        # compact the (position, slot, k) triples before scattering —
+        # scatter work drops from cap*max_words to cap updates
+        (tidx,) = jnp.nonzero(kbit.reshape(-1), size=cap,
+                              fill_value=cap * max_words)
+        t_ok = tidx < cap * max_words
+        tflat = jnp.where(
+            t_ok, flat.reshape(-1)[jnp.clip(tidx, 0,
+                                            cap * max_words - 1)],
+            PL * num_os)
         seeds = jnp.zeros(PL * num_os, dtype=bool).at[
-            flat.reshape(-1)].set(True, mode="drop").reshape(PL, num_os)
-        over_t = (any_m.sum() > cap) | ((masks != 0).sum() > cap)
+            tflat].set(True, mode="drop").reshape(PL, num_os)
+        over_t = ((any_m.sum() > cap) | ((masks != 0).sum() > cap)
+                  | (kbit.sum() > cap))
     else:
         seeds = jnp.zeros((PL, num_os), dtype=bool)
         for k in range(max_words):
@@ -347,11 +357,15 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
             frag_sorted, (seg_start[s],), (Bs,)) for s in g_slots])
         seg_valid_g = jnp.arange(Bs)[None, :] < cnt_g[:, None]
 
-        # per-slot energy operand: T[v, (r, c, e)] = t_canon[c, v, qp_r, e]
+        # per-slot, per-ROW energy operand T[r, v, (c, e)]: the scan
+        # consumes one row slice per iteration and the (tiny) row matmul
+        # happens inside the loop body — materializing the full
+        # (Gs, Bs, wt, wq, nc, 7) energy tensor as scan xs would cost
+        # gigabytes of HBM on a large panel
         qp_g = np.asarray([slot_meta[s][2] for s in g_slots], np.int32)
         Ts_g = tc_all[:, :, jnp.asarray(qp_g), :]    # (nc',30,Gs,wq,7)
-        Ts_g = jnp.transpose(Ts_g, (2, 1, 3, 0, 4)).reshape(
-            Gs, 30, wq_s * nc_all * 7).astype(jnp.float32)
+        Ts_g = jnp.transpose(Ts_g, (2, 3, 1, 0, 4)).reshape(
+            Gs, wq_s, 30, nc_all * 7).astype(jnp.float32)
         thr_g = thresholds[:, sl].T                  # (Gs, nc)
         if eval_on:
             tabs_g = {
@@ -392,19 +406,19 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
             ptb = pt6 * NUM_T5 + tb5
             ohp = (ptb[:, :, None]
                    == jnp.arange(30)[None, None, :]).astype(jnp.float32)
-            E = jnp.einsum('bjv,vk->bjk', ohp, Ts,
-                           precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32)
-            E = jnp.round(E).astype(jnp.int32).reshape(
-                Bs, wt_s, wq_s, nc_all, 7)
-            E = jnp.moveaxis(E, 2, 0)                 # (wq, Bs, wt, nc', 7)
-            E = jnp.moveaxis(E, 3, 1)                 # (wq, nc', Bs, wt, 7)
-
             neg1 = jnp.full((nc_all, Bs, wt_s + 1), -1, jnp.int32)
             negg = jnp.full((Bs, wt_s + 1), NEG_I32, jnp.int32)
 
-            def row_step(carry, e):
+            def row_step(carry, ts_row):
                 prevM, prevIq, prevIt, best, prevMg, mgmax = carry
+                # ts_row: (30, nc'*7) — this DP row's energies for every
+                # (condition, energy type); ohp is row-invariant
+                er = jnp.einsum('bjv,vk->bjk', ohp, ts_row,
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+                e = jnp.round(er).astype(jnp.int32).reshape(
+                    Bs, wt_s, nc_all, 7)
+                e = jnp.moveaxis(e, 2, 0)             # (nc', Bs, wt, 7)
                 dgmm, dgmq, dgmt = e[..., 0], e[..., 1], e[..., 2]
                 dgqi, dgqe = e[..., 3], e[..., 4]
                 dgti, dgte = e[..., 5], e[..., 6]
@@ -448,7 +462,7 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
                     jnp.full((nc_all, Bs), -1, jnp.int32),
                     negg, jnp.full((Bs,), NEG_I32, jnp.int32))
             (_, _, _, best, _, mgmax), M_rows = jax.lax.scan(
-                row_step, init, E)
+                row_step, init, Ts)
 
             keep = jnp.ones(Bs, dtype=bool)
             for c in range(num_cond):
