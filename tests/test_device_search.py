@@ -285,3 +285,45 @@ def test_seed_table_and_dense_paths_agree(engine):
     for name, x, y in zip(names, a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y), name)
     assert int(a[2]) > 0          # the fragment actually has seeds
+
+
+def test_batch_overflow_does_not_corrupt_batchmates(engine):
+    """ADVICE r4 (high): on the dense seeding path (max_words > 31), a
+    fragment whose TRUE candidate count exceeds cap must not shift the
+    pooled per-slot segment boundaries — a clean batchmate's kept-seed
+    list must be identical to running it alone, and the overflowing
+    fragment must be flagged for host fallback."""
+    rng = np.random.default_rng(33)
+    long_oligo = "".join(rng.choice(list("ACGT"), 40))   # 34 words at w=7
+    w = 7
+    panel = _mk_panel([(long_oligo, True), (long_oligo, False)], w)
+    max_words = max(len(p["words"]) for p in panel)
+    assert max_words > 31          # forces the dense seeding path gate
+
+    cap = 256
+    cfg = PanelConfig(word_len=w, num_os=2, max_words=max_words,
+                      wq_max=40, tile_len=16384, cap=cap, num_cond=1)
+    dg = engine.delta_g().astype(np.int32).reshape(1, -1)
+    thr = np.full((1, 2), INT_MIN, dtype=np.int32)
+    dp = DevicePanel(panel, cfg, dg, thr)
+    assert dp.args[1].shape[0] == 1  # dense fallback table selected
+
+    # fragment A: tandem repeat of the oligo -> thousands of diagonals
+    site = C.ASCII_TO_DB[np.frombuffer(long_oligo.encode(), np.uint8)]
+    frag_a = np.tile(site, 16000 // len(site)).astype(np.uint8)
+    # fragment B: clean random background + three planted sites
+    frag_b = rng.integers(0, 4, 16000).astype(np.uint8)
+    for pos in (2000, 7000, 12000):
+        frag_b[pos:pos + len(site)] = site
+
+    batch = dp.resolve_fragments(dp.submit_fragments([frag_a, frag_b]))
+    alone = dp.resolve_fragments(dp.submit_fragments([frag_b]))[0]
+
+    assert batch[0]["overflow"], "tandem-repeat fragment must overflow"
+    assert not batch[1]["overflow"]
+    assert not alone["overflow"]
+    assert batch[1]["n_kept"] == alone["n_kept"] > 0
+    np.testing.assert_array_equal(batch[1]["os_k"], alone["os_k"])
+    np.testing.assert_array_equal(batch[1]["p_k"], alone["p_k"])
+    np.testing.assert_array_equal(batch[1]["kmin_k"], alone["kmin_k"])
+    np.testing.assert_array_equal(batch[1]["counts"], alone["counts"])

@@ -303,7 +303,13 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
     p_f = p.reshape(Bp)
     rank = jnp.arange(Bp, dtype=jnp.int32) % cap
     frag_f = jnp.arange(Bp, dtype=jnp.int32) // cap
-    valid = rank < n_cand[frag_f]
+    # Number of COMPACTED entries per fragment: the per-fragment nonzero
+    # truncates at cap, while n_cand is the TRUE candidate count (the
+    # dense seeding path can exceed cap; such fragments are flagged
+    # overflow and host-searched).  valid must describe the compacted
+    # arrays, not the true counts, or fill rows would enter the pool.
+    n_comp = jnp.minimum(n_cand, cap)
+    valid = rank < n_comp[frag_f]
 
     key = jnp.where(valid, slot_f, num_os)
     order = jnp.argsort(key, stable=True)            # slot-major; within a
@@ -315,7 +321,13 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
     frag_sorted = jnp.concatenate([frag_sorted, pad])
     order_pad = jnp.concatenate([order.astype(jnp.int32), pad])
 
-    slot_counts = counts.sum(axis=0).astype(jnp.int32)   # (num_os,)
+    # Segment boundaries MUST be derived from the pooled compacted stream
+    # (exactly what the sorted arrays contain), never from the true seed
+    # counts: one fragment overflowing cap would otherwise shift every
+    # later slot's dynamic_slice and corrupt clean batchmates' kept-seed
+    # lists (the round-4 soundness bug).
+    slot_counts = jnp.bincount(
+        key, length=num_os + 1)[:num_os].astype(jnp.int32)
     seg_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(slot_counts)])
     slot_over = slot_counts[:n_real] > jnp.asarray(seg_caps, jnp.int32)

@@ -14,19 +14,29 @@ Correctness argument (so the screened pipeline stays bit-identical):
       Tm >= min_tm  <=>  dG_alignment(Tk) <= Tk * R * ln(Ct)
 
   (identical algebra to the reference Tm formula, nuc_cruc.cpp:2284-2297).
-  The device DP at temperature T yields dp(T) = min over all alignment
-  paths of the approximate path free energy; exact re-scoring
-  (evaluate_alignment) can improve on the path energy by at most a bounded
-  slack (measured: <= 2.24 kcal/mol without dangling ends, <= 4.94 with;
-  we use 4.0 / 7.0).  Hence every window that can produce a hit satisfies
+  The screen runs the DP over a SCREENING table in which every event the
+  exact re-scorer (evaluate_alignment) may re-price — loops, bulges,
+  terminal swaps — is charged an admissible LOWER bound (0), so the
+  screening path energy never overcharges any alignment the re-scorer
+  could produce.  The residual slack (per-alignment boundary effects the
+  table cannot express: AT-closing, init terms, salt-count rounding) is
+  bounded CONSTRUCTIVELY from the parameter tables themselves
+  (screen_bound.slack_bound; derivation in docs/screen_bound.md).  Hence
+  every window that can produce a hit satisfies
 
-      dp(Tk) - slack <= dG_alignment(Tk) <= Tk*R*ln(Ct)
-      dp(T*) - slack <= dG_alignment(T*) <= max_dg
+      dp_screen(Tk) - slack <= dG_alignment(Tk) <= Tk*R*ln(Ct)
+      dp_screen(T*) - slack <= dG_alignment(T*) <= max_dg
 
   and a window failing either inequality is provably hit-free and is
   dropped without exact evaluation.  Windows are never dropped on the
   max_tm / min_dg / clamp / mismatch sides (dropping is only ever done on
   conditions every survivor must satisfy).
+
+  NOTE an earlier (rounds 1-3) screen ran over the EXACT dp table with a
+  corpus-fitted constant slack (4.0/7.0 kcal/mol); that argument was
+  UNSOUND — a mismatch cluster routed through gap pairs overcharges the
+  exact-table path linearly in cluster size, so no constant slack exists
+  (docs/screen_bound.md records the counterexample).  Do not revive it.
 """
 
 import math

@@ -8,18 +8,22 @@ alignment A* the engine reports:
 
     screen_path(A*, T) - exact(A*, T) <= slack        for all A*, T.
 
-With zeroed event charges the screening path UNDERCHARGES every interior
-event relative to the exact evaluator (whose loop/bulge penalties are
-all >= 0 and whose loop-terminal swaps cancel exactly — the tstack files
-are empty, so param_loop_terminal == param).  What remains are O(1)
-LOCAL terms: AT closings, bulge closing stacks, the GT/TG double-wobble
-special, terminal/frayed effects, per-event salt-folding deltas.  Those
-are enumerated here NUMERICALLY, per family, from the actual tables: a
-small alignment is built for every family instance, the exact side comes
-from the native evaluator (the code under test), the screening-path side
-from an exact walker over the int screening table, and the slack is the
-max improvement observed over the full enumeration plus a truncation
-margin.
+With zeroed event charges the screening DP can CROSS every interior
+event at a cost no greater than the exact evaluator's penalty for it —
+usually by re-routing through zero-charged gap pairs; the event's
+literal path may overcharge (a lone T.T mismatch pays genuine mismatch
+stacks while the exact evaluator prices the 1x1 loop lower), so the
+premise quantifies over the DP's cheapest ROUTE, and _compute_bound
+asserts it numerically for every repeatable family (route cost from an
+actual DP over the screening table, differenced against the event-free
+baseline).  What remains are per-alignment O(1) LOCAL terms: AT
+closings, init terms, terminal/frayed effects, salt-count constants.
+Those are enumerated here NUMERICALLY, per family, from the actual
+tables: a small alignment is built for every family instance, the exact
+side comes from the native evaluator (the code under test), the
+screening-path side from an exact walker over the int screening table,
+and the slack is the max improvement observed over the full enumeration
+plus a truncation margin.
 
 This replaces the corpus-fitted constants 4.0/7.0, which were UNSOUND:
 a mismatch cluster routed through gap pairs overcharges the ORIGINAL
@@ -28,7 +32,6 @@ size 6; unbounded in window length) — the screening-table fix removes
 the event charges instead of bounding them.
 """
 
-import functools
 
 import numpy as np
 
@@ -98,18 +101,28 @@ def screen_path_dg(q_row, t_row, dg_int):
 
 
 def _family_alignments(dangle):
-    """Small alignments covering every local event family.  Flanking
-    context is exhaustive where the family formula depends on it."""
+    """Small alignments covering every local event family, each tagged
+    `repeatable`: True for INTERIOR events that can occur multiple times
+    in one alignment (mismatch clusters, bulges, mixed loops, wobble
+    specials), False for per-alignment-bounded terms (terminals,
+    dangling/frayed attachments).  Flanking context is exhaustive where
+    the family formula depends on it.
+
+    The soundness theorem (docs/screen_bound.md step 3) composes
+    per-event improvements additively; slack = the worst SINGLE term is
+    only a bound if every repeatable event's own improvement is <= 0 —
+    `_compute_bound` asserts exactly that, differentially against the
+    event-free baseline (the alignment's WC columns)."""
     out = []
 
-    def A(qs, ts):
-        out.append((np.array(qs, np.uint8), np.array(ts, np.uint8)))
+    def A(qs, ts, repeatable):
+        out.append((np.array(qs, np.uint8), np.array(ts, np.uint8),
+                    repeatable))
 
-    GC = (2, 1)
     # pure duplexes incl. AT terminals (AT-closing + terminal charges)
     for L in WC_PAIRS + I_PAIRS:
         for R in WC_PAIRS + I_PAIRS:
-            A([L[0], 2, 1, R[0]], [L[1], 1, 2, R[1]])
+            A([L[0], 2, 1, R[0]], [L[1], 1, 2, R[1]], False)
     # gapless mismatch clusters m = 1..12, all flanking mm pairs
     for m in (1, 2, 3, 4, 8, 12):
         for M1 in MM_PAIRS:
@@ -118,7 +131,7 @@ def _family_alignments(dangle):
                 mms = [M1] + mid + ([Mm] if m > 1 else [])
                 qs = [2, 1] + [p[0] for p in mms] + [2, 1]
                 ts = [1, 2] + [p[1] for p in mms] + [1, 2]
-                A(qs, ts)
+                A(qs, ts, True)
     # bulges k = 1..6 on each strand, all WC flanks, bulge base choices
     for k in (1, 2, 3, 6):
         for L in WC_PAIRS:
@@ -127,9 +140,9 @@ def _family_alignments(dangle):
                     gq = [GAP] * k
                     gb = [B] * k
                     A([2, L[0]] + gq + [R[0], 1],
-                      [1, L[1]] + gb + [R[1], 2])
+                      [1, L[1]] + gb + [R[1], 2], True)
                     A([2, L[0]] + gb + [R[0], 1],
-                      [1, L[1]] + gq + [R[1], 2])
+                      [1, L[1]] + gq + [R[1], 2], True)
     # asymmetric / mixed loops: mm x gaps in several arrangements
     for mm in (1, 2, 3):
         for g in (1, 2, 3):
@@ -137,49 +150,166 @@ def _family_alignments(dangle):
                 mpart_q = [M1[0]] * mm
                 mpart_t = [M1[1]] * mm
                 A([2, 1] + mpart_q + [GAP] * g + [2, 1],
-                  [1, 2] + mpart_t + [0] * g + [1, 2])
+                  [1, 2] + mpart_t + [0] * g + [1, 2], True)
                 A([2, 1] + [GAP] * g + mpart_q + [2, 1],
-                  [1, 2] + [0] * g + mpart_t + [1, 2])
+                  [1, 2] + [0] * g + mpart_t + [1, 2], True)
                 A([2, 1] + mpart_q + [0] * g + [2, 1],
-                  [1, 2] + mpart_t + [GAP] * g + [1, 2])
+                  [1, 2] + mpart_t + [GAP] * g + [1, 2], True)
                 # gaps on both strands (gap_difference = 0 loop)
                 A([2, 1] + mpart_q + [GAP] * g + [0] * g + [2, 1],
-                  [1, 2] + mpart_t + [0] * g + [GAP] * g + [1, 2])
+                  [1, 2] + mpart_t + [0] * g + [GAP] * g + [1, 2], True)
     # GT/TG double-wobble special (loop_size == 2 via equal gaps)
     for w1 in ((2, 3), (3, 2)):
         for w2 in ((2, 3), (3, 2)):
             A([2, w1[0], GAP, 0, w2[0], 1],
-              [1, w1[1], 0, GAP, w2[1], 2])
+              [1, w1[1], 0, GAP, w2[1], 2], True)
+    # multi-event alignments (two bulges / bulge + mismatch cluster):
+    # direct probes of the additive-composition premise
+    for k1 in (1, 2):
+        for k2 in (1, 3):
+            for B in (0, 2):
+                A([2, 1] + [GAP] * k1 + [2, 1] + [GAP] * k2 + [2, 1],
+                  [1, 2] + [B] * k1 + [1, 2] + [B] * k2 + [1, 2], True)
+                A([2, 1] + [B] * k1 + [2, 1] + [GAP] * k2 + [2, 1],
+                  [1, 2] + [GAP] * k1 + [1, 2] + [B] * k2 + [1, 2], True)
+    for m in (1, 3):
+        for k in (1, 2):
+            A([2, 1] + [0] * m + [2, 1] + [GAP] * k + [2, 1],
+              [1, 2] + [0] * m + [1, 2] + [1] * k + [1, 2], True)
     if dangle:
         # dangling-end / frayed-end attachments: E-paired terminals
         for D in range(4):
             for L in WC_PAIRS:
-                A([E, L[0], 2, 1], [D, L[1], 1, 2])
-                A([D, L[0], 2, 1], [E, L[1], 1, 2])
-                A([2, 1, L[0], E], [1, 2, L[1], D])
-                A([2, 1, L[0], D], [1, 2, L[1], E])
+                A([E, L[0], 2, 1], [D, L[1], 1, 2], False)
+                A([D, L[0], 2, 1], [E, L[1], 1, 2], False)
+                A([2, 1, L[0], E], [1, 2, L[1], D], False)
+                A([2, 1, L[0], D], [1, 2, L[1], E], False)
                 # frayed: mismatch terminal followed by the attach pair
                 for M1 in MM_PAIRS[:6]:
-                    A([M1[0], L[0], 2, 1], [M1[1], L[1], 1, 2])
+                    A([M1[0], L[0], 2, 1], [M1[1], L[1], 1, 2], False)
     return out
 
 
-@functools.lru_cache(maxsize=None)
-def _bound_cached(key):
-    engine_id, T, dangle = key
-    eng = _ENGINES[engine_id]
-    return _compute_bound(eng, T, dangle)
+def _wc_baseline(q, t):
+    """The alignment with its non-WC columns removed: the event-free
+    context sharing the same terminals (inosine counts as pairing)."""
+    keep = [i for i in range(len(q))
+            if q[i] < 5 and t[i] < 5
+            and (q[i] == 4 or t[i] == 4 or int(q[i]) + int(t[i]) == 3)]
+    return q[keep], t[keep]
 
 
-_ENGINES = {}
+# REPEAT_MARGIN: allowance on the repeatable-event non-positivity assert
+# (int table truncation <= 1e-4/charge, f32 eval rounding).
+REPEAT_MARGIN = 0.02
+
+# GC anchors flanking the premise-check windows: long enough that the
+# screening DP's best route CROSSES the event instead of aligning one
+# anchor alone (events whose exact cost exceeds the anchor strength are
+# then measured as a skip, which only weakens the asserted quantity —
+# conservative in the safe direction, see _compute_bound).
+_ANCH_Q = [2, 1] * 3
+_ANCH_T = [1, 2] * 3
+
+
+def _screen_dp_batch(qs, ts, dg):
+    """Max DP score per (query, window) over the screening table — a
+    numpy mirror of ops.thermo_dp.dp_max_score (the production kernel),
+    kept JAX-free so slack_bound never touches a device backend.
+    qs: list of query code arrays (5'->3'), ts: list of window code
+    arrays (plus orientation).  Semantics checked against dp_max_score in
+    tests/test_screen_bound.py."""
+    B = len(qs)
+    wq = max(len(q) for q in qs)
+    wt = max(len(t) for t in ts)
+    Q = np.zeros((B, wq), np.int64)
+    Tw = np.zeros((B, wt), np.int64)
+    ql = np.array([len(q) for q in qs], np.int64)
+    tl = np.array([len(t) for t in ts], np.int64)
+    for i, (q, t) in enumerate(zip(qs, ts)):
+        Q[i, :len(q)] = q
+        Tw[i, :len(t)] = t
+    idx = (ql[:, None] - 1 - np.arange(wq)[None, :]) % wq
+    qr = np.take_along_axis(Q, idx, axis=1)     # reversed query per row
+
+    dgf = np.asarray(dg, np.int64).reshape(-1)
+
+    def g(pa, pb, ca, cb):
+        return dgf[(pa * NUM_BASE + pb) * NUM_BP + ca * NUM_BASE + cb]
+
+    gapv = np.full(B, GAP, np.int64)
+    M = np.full((B, wt + 1), -1, np.int64)
+    Iq = np.full((B, wt + 1), -1, np.int64)
+    It = np.full((B, wt + 1), -1, np.int64)
+    best = np.full(B, -1, np.int64)
+    for r in range(wq):
+        qb = qr[:, r]
+        pq = qr[:, r - 1] if r > 0 else gapv
+        newM = np.full((B, wt + 1), -1, np.int64)
+        newIq = np.full((B, wt + 1), -1, np.int64)
+        newIt = np.full((B, wt + 1), -1, np.int64)
+        m_left = np.full(B, -1, np.int64)        # M[r, c-1]
+        for c in range(wt):
+            tb = Tw[:, c]
+            pt = Tw[:, c - 1] if c > 0 else gapv
+            m = np.maximum(
+                np.maximum(np.maximum(M[:, c], 0) - g(pt, pq, tb, qb),
+                           np.maximum(Iq[:, c], 0) - g(pt, gapv, tb, qb)),
+                np.maximum(It[:, c], 0) - g(gapv, pq, tb, qb))
+            it = np.maximum(
+                np.maximum(M[:, c + 1], 0) - g(tb, pq, gapv, qb),
+                np.maximum(It[:, c + 1], 0) - g(gapv, pq, gapv, qb))
+            dgqe = g(pt, gapv, tb, gapv)
+            a = np.maximum(
+                np.maximum(m_left, 0) - g(pt, qb, tb, gapv), -dgqe)
+            iq = np.maximum(a, newIq[:, c] - dgqe)
+            valid = (c < tl) & (r < ql)
+            best = np.maximum(best, np.where(valid, m, -1))
+            newM[:, c + 1] = m
+            newIq[:, c + 1] = iq
+            newIt[:, c + 1] = it
+            m_left = m
+        M, Iq, It = newM, newIq, newIt
+    return best
 
 
 def _compute_bound(engine, T, dangle):
     dg = engine.delta_g_screen(np.float32(T)).astype(np.int64).reshape(-1)
     aligns = _family_alignments(dangle)
+    # premise-check variants: every repeatable event and its event-free
+    # baseline, wrapped in GC anchors so the screening DP's best route
+    # crosses the event
+    rep_idx = [k for k, (_, _, rep) in enumerate(aligns) if rep]
+
+    def aug(q, t):
+        return (np.concatenate([_ANCH_Q, q, _ANCH_Q]).astype(np.uint8),
+                np.concatenate([_ANCH_T, t, _ANCH_T]).astype(np.uint8))
+
+    aug_ev = [aug(aligns[k][0], aligns[k][1]) for k in rep_idx]
+    aug_ba = [aug(*_wc_baseline(aligns[k][0], aligns[k][1]))
+              for k in rep_idx]
+    qs = [q for q, _, _ in aligns] + [q for q, _ in aug_ev] \
+        + [q for q, _ in aug_ba]
+    ts = [t for _, t, _ in aligns] + [t for _, t in aug_ev] \
+        + [t for _, t in aug_ba]
     tm, dH, dS, ok = engine.eval_alignments(
-        [q for q, _ in aligns], [t for _, t in aligns],
-        np.full(len(aligns), 9e-7, dtype=np.float32))
+        qs, ts, np.full(len(qs), 9e-7, dtype=np.float32))
+    nA = len(aligns)
+    nR = len(rep_idx)
+
+    def window(q, t):
+        qd = q[q != GAP].astype(np.int64)
+        td = t[t != GAP][::-1].astype(np.int64)
+        return qd, td
+
+    dp_q, dp_t = [], []
+    for q, t in aug_ev + aug_ba:
+        qd, td = window(q, t)
+        dp_q.append(qd)
+        dp_t.append(td)
+    dp_best = (_screen_dp_batch(dp_q, dp_t, dg) if dp_q
+               else np.zeros(0, np.int64))
+
     def wc_core(q, t):
         """The DP path underlying a reported alignment is its WC-trimmed
         core (frayed ends are trimmed before evaluation, dangling ends
@@ -196,33 +326,138 @@ def _compute_bound(engine, T, dangle):
             hi -= 1
         return q[lo:hi + 1], t[lo:hi + 1]
 
+    def improvement(k, q, t):
+        qc, tc = wc_core(q, t)
+        if len(qc) == 0:
+            return None
+        path = screen_path_dg(qc, tc, dg)
+        exact = float(dH[k]) - T * float(dS[k])
+        return path - exact
+
     worst = 0.0
-    for k, (q, t) in enumerate(aligns):
+    for k, (q, t, rep) in enumerate(aligns):
         if not ok[k]:
             # evaluate_alignment rejected (dH >= 0): the engine reports
             # tm = 0 for such alignments — they can never be a hit under
             # a min_tm > 0 / max_dg < 0 criterion, so the invariant is
             # vacuous for them
             continue
-        qc, tc = wc_core(q, t)
-        if len(qc) == 0:
+        imp = improvement(k, q, t)
+        if imp is None:
             continue
-        path = screen_path_dg(qc, tc, dg)
-        exact = float(dH[k]) - T * float(dS[k])
-        worst = max(worst, path - exact)
+        worst = max(worst, imp)
+
+    # Composition premise (docs/screen_bound.md step 3): the screening
+    # DP's CHEAPEST ROUTE through a repeatable interior event must not
+    # exceed the event's exact penalty, or per-event overcharges would
+    # compose additively past the single-event slack.  Both sides are
+    # measured differentially against the event-free WC baseline with
+    # identical anchors; the route cost comes from the actual DP (the
+    # LITERAL path of the event can overcharge by several kcal/mol —
+    # e.g. a lone T.T mismatch pays genuine mismatch stacks while the
+    # exact evaluator prices the 1x1 loop lower — soundness rides on the
+    # DP's freedom to re-route, typically through zero-charged gap
+    # pairs).  Fail loudly: a violation means the screening table
+    # changed in a way the slack theorem does not cover.
+    for j, k in enumerate(rep_idx):
+        ke = nA + j
+        kb = nA + nR + j
+        if not (ok[ke] and ok[kb]):
+            continue
+        dp_diff = -(float(dp_best[j]) - float(dp_best[nR + j])) / 10000.0
+        exact_diff = (float(dH[ke]) - T * float(dS[ke])) \
+            - (float(dH[kb]) - T * float(dS[kb]))
+        if dp_diff - exact_diff > REPEAT_MARGIN:
+            q, t, _ = aligns[k]
+            raise AssertionError(
+                "screen_bound: repeatable interior event's cheapest "
+                f"screening route overcharges exact by "
+                f"{dp_diff - exact_diff:.4f} kcal/mol at T={T} "
+                f"(q={list(map(int, q))}, t={list(map(int, t))}); "
+                "the additive-composition premise is violated")
     # margins: int truncation (<= 1e-4 per charge, <= 64 charges), f32
     # eval rounding, enumeration granularity
     return worst + 0.05
+
+
+_BOUND_CACHE = {}
+
+
+def _persist_path():
+    import os
+    d = os.environ.get(
+        "TNTBLAST_SLACK_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "tntblast_tpu"))
+    if d == "0":
+        return None
+    return os.path.join(d, "slack_bounds.json")
+
+
+def _load_persisted():
+    import json
+    import os
+    path = _persist_path()
+    if not path or not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as fh:
+            raw = json.load(fh)
+        return {tuple(k.split("|")): float(v) for k, v in raw.items()}
+    except Exception:   # noqa: BLE001 — a corrupt cache is recomputed
+        return {}
+
+
+def _save_persisted(cache):
+    import json
+    import os
+    path = _persist_path()
+    if not path:
+        return
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"|".join(map(str, k)): v for k, v in cache.items()},
+                      fh)
+        os.replace(tmp, path)
+    except Exception:   # noqa: BLE001 — persistence is best-effort
+        pass
 
 
 def slack_bound(engine, T, dangle=False):
     """Provable screening slack at temperature T (kcal/mol): the maximum
     over all enumerated event families of screen_path - exact, plus a
     truncation margin.  Events compose additively (each family term is
-    the event's complete local contribution), interior event charges are
-    zero by construction, and every exact interior penalty is >= 0 — so
-    the per-alignment improvement is bounded by the worst single-event
-    terms captured here (see docs/screen_bound.md for the argument)."""
-    eid = id(engine)
-    _ENGINES[eid] = engine
-    return _bound_cached((eid, round(float(T), 4), bool(dangle)))
+    the event's complete local contribution), every repeatable interior
+    event's cheapest screening route is asserted no costlier than its
+    exact penalty in _compute_bound — so the per-alignment improvement
+    is bounded by the worst single-event terms captured here (see
+    docs/screen_bound.md for the argument).
+
+    Cached by the CONTENT of the engine's screening table (never by
+    engine identity — holding engines in a module dict would leak the
+    native engine for the life of the process), and persisted across
+    processes: the enumeration + premise assert cost ~0.4 s per
+    temperature, paid once per parameter-table content ever.  Any table
+    change changes the key and re-runs the premise verification."""
+    ck = getattr(engine, "_screen_bound_key", None)
+    if ck is None:
+        import hashlib
+        tab = engine.delta_g_screen(np.float32(310.15)).astype(np.int64)
+        ck = hashlib.sha1(tab.tobytes()).hexdigest()
+        try:
+            engine._screen_bound_key = ck
+        except AttributeError:
+            pass
+    key = (ck, str(round(float(T), 4)), str(bool(dangle)))
+    got = _BOUND_CACHE.get(key)
+    if got is not None:
+        return got
+    if not _BOUND_CACHE:
+        _BOUND_CACHE.update(_load_persisted())
+        got = _BOUND_CACHE.get(key)
+        if got is not None:
+            return got
+    got = _BOUND_CACHE[key] = _compute_bound(engine, T, dangle)
+    _save_persisted(_BOUND_CACHE)
+    return got
