@@ -191,3 +191,97 @@ def test_eval_segment_stress(engine, tables, seed_val, ql):
         q_aligned = out["lm_q"][b] - out["fm_q"][b] + 1
         assert out["mm"][b] + (ql - q_aligned) == ref["num_mm"][b], b
     assert n_trusted > 0.5 * B, n_trusted
+
+
+def test_eval_flat_matches_segment(engine, tables):
+    """eval_flat (flat mixed-slot pool, per-entry ql/wt as data, padded
+    rows/cols filled with JUNK) must reproduce eval_segment field-for-
+    field on every entry — the padding masks may not leak."""
+    from tntblast_tpu.ops.eval_gapless_jax import eval_flat
+
+    rng = np.random.default_rng(23)
+    slots = []
+    for ql in (15, 19, 24):
+        q = rng.integers(0, 4, ql).astype(np.uint8)
+        if ql == 19:
+            q[5] = 4            # an inosine slot
+        slots.append(q)
+    wq_max = max(len(q) for q in slots)
+    wt_max = wq_max + 8
+    dg = engine.delta_g().astype(np.int64).reshape(-1)
+
+    seg_outs = []
+    flat_M = []
+    flat_mg = []
+    flat_t = []
+    flat_q = []
+    flat_ql = []
+    flat_wt = []
+    flat_sl = []
+    ev_tabs = np.zeros((len(slots), wq_max, 25, 4), np.float32)
+    ev_loop = np.zeros((len(slots), wq_max + 2), np.float32)
+    eval_const = None
+    for s, q in enumerate(slots):
+        ql = len(q)
+        wt = ql + 8
+        B = 40
+        t_batch = rng.integers(0, 4, (B, wt)).astype(np.int64)
+        site = (3 - q[::-1].astype(np.int64)) % 4
+        site[q[::-1] == 4] = rng.integers(0, 4)
+        for b in range(0, B, 2):
+            off = int(rng.integers(0, wt - ql + 1))
+            t_batch[b, off:off + ql] = site
+            for _ in range(int(rng.integers(0, 4))):
+                t_batch[b, int(rng.integers(0, wt))] = rng.integers(0, 4)
+        M_rows, mg_max = _dp_rows(q, t_batch, dg)
+        tabs = build_slot_eval_arrays(q, tables)
+        seg_outs.append({k: np.asarray(v) for k, v in eval_segment(
+            np.asarray(M_rows), np.asarray(mg_max),
+            t_batch.astype(np.int32), tabs).items()})
+        ev_tabs[s, :ql, :, 0] = tabs["Hstk"]
+        ev_tabs[s, :ql, :, 1] = tabs["Sstk"]
+        ev_tabs[s, :ql, :, 2] = tabs["Hlt"]
+        ev_tabs[s, :ql, :, 3] = tabs["Slt"]
+        ev_loop[s, :ql + 1] = tabs["loop2m"]
+        eval_const = (float(tabs["AT_H"]), float(tabs["AT_S"]),
+                      float(tabs["init_H"]), float(tabs["init_S"]))
+        # pad rows/cols with JUNK: masking must make it invisible
+        Mp = rng.integers(-5, 99999, (wq_max, B, wt_max + 1)).astype(
+            np.int32)
+        Mp[:ql, :, :wt + 1] = M_rows
+        # junk must not sit inside the real extent's boundary column
+        flat_M.append(Mp)
+        flat_mg.append(mg_max)
+        tp = rng.integers(0, 5, (B, wt_max)).astype(np.int32)
+        tp[:, :wt] = t_batch
+        flat_t.append(tp)
+        qp = np.zeros((B, wq_max), np.int32)
+        qp[:, :ql] = q
+        flat_q.append(qp)
+        flat_ql.append(np.full(B, ql, np.int32))
+        flat_wt.append(np.full(B, wt, np.int32))
+        flat_sl.append(np.full(B, s, np.int32))
+
+    M_all = np.concatenate(flat_M, axis=1)
+    out = eval_flat(
+        M_all, np.concatenate(flat_mg),
+        np.concatenate(flat_t), np.concatenate(flat_q),
+        np.concatenate(flat_ql), np.concatenate(flat_wt),
+        (np.concatenate(flat_sl)[:, None]
+         == np.arange(len(slots))[None, :]).astype(np.float32),
+        ev_tabs, ev_loop, eval_const)
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    off = 0
+    for s, seg in enumerate(seg_outs):
+        B = len(seg["trusted"])
+        for k in seg:
+            got = out[k][off:off + B]
+            if seg[k].dtype == np.float32:
+                np.testing.assert_array_equal(
+                    got.view(np.int32), seg[k].view(np.int32),
+                    err_msg=f"slot {s} field {k}")
+            else:
+                np.testing.assert_array_equal(got, seg[k],
+                                              err_msg=f"slot {s} field {k}")
+        off += B

@@ -48,11 +48,14 @@ import jax
 import jax.numpy as jnp
 
 from tntblast_tpu import constants as C
-from tntblast_tpu.ops.eval_gapless_jax import eval_segment
+from tntblast_tpu.ops.eval_gapless_jax import eval_flat
 from tntblast_tpu.ops.thermo_dp import (
     NUM_T5, _relu, build_qpair_rows, build_t_canon)
 
 NEG_I32 = -(1 << 29)
+
+# pooled-stream chunk size of the flat screening DP (entries per chunk)
+SCREEN_CHUNK = 32768
 
 INT_MIN = -(1 << 31) + 1
 
@@ -97,19 +100,27 @@ class PanelConfig:
 
 
 def _seed_fragment(frag_codes, frag_len, oligo_words, w_table, *,
-                   word_len, num_os, max_words, tile_len, cap):
-    """Seeding + two-stage compaction for ONE fragment.
+                   word_len, num_os, max_words, tile_len, cap,
+                   s_max=1, k_max=1):
+    """Seeding + compaction for ONE fragment.
 
     w_table: (4^word_len, num_os) int32 word-value -> per-slot k-bitmask
       lookup (bit k set iff oligo word k equals the value), or a (1,
       num_os) dummy when the table is gated off (see DevicePanel) — the
-      static shape selects the path at trace time.  The table path
-      replaces the dense (positions x slots x words) compare loop with
-      one 1-D any-match gather plus compaction-then-scatter over the
-      actual matches (~50x less element traffic on the bench panel).
+      static shape selects the path at trace time.
+
+    Table path (round 5): for each any-match position, the matching
+    (slot, k) pairs are extracted by lowest-set-bit iteration over the
+    packed slot-occupancy / per-slot k-bitmask words — s_max and k_max
+    are the PANEL-STATIC lane bounds (max slots sharing one word value,
+    max repeats of one word inside one oligo; computed from the table at
+    panel build).  The resulting (cap, s_max, k_max) candidate lanes are
+    deduped by ONE small sort + ONE nonzero — ~10x less sorted data than
+    the round-4 dense (cap x num_os) nonzero cascade, which dominated
+    the measured device step (BASELINE.md round-5 bisection).
 
     Returns (slot, p, n_cand, counts, overflow, word, word_valid):
-      slot/p: (cap,) int32 compacted (diagonal-ascending, slot-minor)
+      slot/p: (cap,) int32 compacted ((diagonal, slot) lexicographic)
       n_cand: () int32 true candidate count
       counts: (num_os,) int32 per-slot seed-diagonal counts
       word/word_valid: (nw_pos,) target word arrays (kmin recompute)
@@ -133,7 +144,6 @@ def _seed_fragment(frag_codes, frag_len, oligo_words, w_table, *,
     # --- seed diagonals ---------------------------------------------------
     # diagonal index space: p in [-(max_words-1), L) -> idx = p + max_words
     PL = L + max_words
-    over_t = jnp.asarray(False)
     if w_table.shape[0] > 1:
         # any-match per position (1-D gather; a_any is unbatched under
         # the fragment vmap, computed once per call)
@@ -143,42 +153,79 @@ def _seed_fragment(frag_codes, frag_len, oligo_words, w_table, *,
         w_ok = widx < nw_pos
         wsel = jnp.clip(widx, 0, nw_pos - 1)
         masks = jnp.where(w_ok[:, None], w_table[word[wsel]], 0)
-        # (position, slot) pairs with >= 1 word match
-        (pidx,) = jnp.nonzero((masks != 0).reshape(-1), size=cap,
-                              fill_value=cap * num_os)
-        p_ok = pidx < cap * num_os
-        pc = jnp.clip(pidx, 0, cap * num_os - 1)
-        ppos = wsel[pc // num_os]
-        po = pc % num_os
-        pmask = jnp.where(p_ok, masks.reshape(-1)[pc], 0)
-        kk = jnp.arange(max_words, dtype=jnp.int32)
-        kbit = ((pmask[:, None] >> kk[None, :]) & 1) > 0    # (cap, mw)
-        didx = ppos[:, None] + (max_words - kk)[None, :]
-        flat = jnp.where(kbit, didx * num_os + po[:, None],
-                         PL * num_os)
-        # compact the (position, slot, k) triples before scattering —
-        # scatter work drops from cap*max_words to cap updates
-        (tidx,) = jnp.nonzero(kbit.reshape(-1), size=cap,
-                              fill_value=cap * max_words)
-        t_ok = tidx < cap * max_words
-        tflat = jnp.where(
-            t_ok, flat.reshape(-1)[jnp.clip(tidx, 0,
-                                            cap * max_words - 1)],
-            PL * num_os)
-        seeds = jnp.zeros(PL * num_os, dtype=bool).at[
-            tflat].set(True, mode="drop").reshape(PL, num_os)
-        over_t = ((any_m.sum() > cap) | ((masks != 0).sum() > cap)
-                  | (kbit.sum() > cap))
-    else:
-        seeds = jnp.zeros((PL, num_os), dtype=bool)
-        for k in range(max_words):
-            ow = oligo_words[:, k]                   # (num_os,)
-            active = (ow >= 0)
-            m = word_valid[:, None] & (word[:, None] == ow[None, :]) \
-                & active[None, :]                    # (nw_pos, num_os)
-            off = max_words - k
-            seeds = seeds.at[off:off + nw_pos].set(
-                seeds[off:off + nw_pos] | m)
+
+        # pack slot occupancy into two 32-bit lanes (num_os <= 64)
+        occ = (masks != 0)
+        m0 = jnp.zeros(cap, jnp.int32)
+        m1 = jnp.zeros(cap, jnp.int32)
+        for s in range(num_os):
+            b = occ[:, s].astype(jnp.int32)
+            if s < 32:
+                m0 = m0 | (b << s)
+            else:
+                m1 = m1 | (b << (s - 32))
+        # extract up to s_max matching slots per position
+        slot_lanes = []
+        for _ in range(s_max):
+            nz0 = m0 != 0
+            nz1 = m1 != 0
+            b0 = m0 & -m0
+            b1 = m1 & -m1
+            i0 = jax.lax.population_count(b0 - 1)
+            i1 = jax.lax.population_count(b1 - 1) + 32
+            slot_lanes.append(jnp.where(nz0, i0,
+                                        jnp.where(nz1, i1, num_os)))
+            m0 = jnp.where(nz0, m0 & (m0 - 1), m0)
+            m1 = jnp.where(~nz0 & nz1, m1 & (m1 - 1), m1)
+        s_resid = (m0 != 0) | (m1 != 0)
+        slot_l = jnp.stack(slot_lanes, axis=1)          # (cap, s_max)
+        s_ok = slot_l < num_os
+        kmask = jnp.take_along_axis(
+            masks, jnp.clip(slot_l, 0, num_os - 1), axis=1)
+        kmask = jnp.where(s_ok, kmask, 0)
+        # extract up to k_max word indices per (position, slot)
+        k_lanes = []
+        for _ in range(k_max):
+            nzk = kmask != 0
+            bk = kmask & -kmask
+            k_lanes.append(jnp.where(
+                nzk, jax.lax.population_count(bk - 1), -1))
+            kmask = jnp.where(nzk, kmask & (kmask - 1), kmask)
+        k_resid = kmask != 0
+        k_l = jnp.stack(k_lanes, axis=2)         # (cap, s_max, k_max)
+        lane_ok = k_l >= 0
+        p_l = wsel[:, None, None] - jnp.maximum(k_l, 0)
+        SENT = PL * num_os
+        key = jnp.where(lane_ok,
+                        (p_l + max_words) * num_os + slot_l[:, :, None],
+                        SENT).reshape(-1)
+        key = jnp.sort(key)
+        uniq = (key < SENT) & jnp.concatenate(
+            [jnp.ones(1, bool), key[1:] != key[:-1]])
+        n_cand = uniq.sum().astype(jnp.int32)
+        (cidx,) = jnp.nonzero(uniq, size=cap, fill_value=key.shape[0])
+        cvalid = cidx < key.shape[0]
+        ksel = key[jnp.clip(cidx, 0, key.shape[0] - 1)]
+        slot = jnp.where(cvalid, ksel % num_os, 0).astype(jnp.int32)
+        p = jnp.where(cvalid, ksel // num_os - max_words, 0).astype(
+            jnp.int32)
+        counts = jnp.bincount(
+            jnp.where(uniq, key % num_os, num_os),
+            length=num_os + 1)[:num_os].astype(jnp.int32)
+        overflow = ((any_m.sum() > cap) | s_resid.any() | k_resid.any()
+                    | (n_cand > cap))
+        return slot, p, n_cand, counts, overflow, word, word_valid
+
+    # --- dense fallback (long oligos / heavily shared words) -------------
+    seeds = jnp.zeros((PL, num_os), dtype=bool)
+    for k in range(max_words):
+        ow = oligo_words[:, k]                   # (num_os,)
+        active = (ow >= 0)
+        m = word_valid[:, None] & (word[:, None] == ow[None, :]) \
+            & active[None, :]                    # (nw_pos, num_os)
+        off = max_words - k
+        seeds = seeds.at[off:off + nw_pos].set(
+            seeds[off:off + nw_pos] | m)
 
     counts = seeds.sum(axis=0).astype(jnp.int32)
 
@@ -197,21 +244,10 @@ def _seed_fragment(frag_codes, frag_len, oligo_words, w_table, *,
         jnp.int32)
     p = jnp.where(cvalid, p, 0)
     n_cand = sub.sum().astype(jnp.int32)
-    overflow = over_t | (n_pos > cap) | (counts.sum() > cap)
+    overflow = (n_pos > cap) | (counts.sum() > cap)
     return slot, p, n_cand, counts, overflow, word, word_valid
 
 
-
-
-def _slot_segment_caps(slot_meta, n_frags, tile_len, word_len):
-    """Static per-slot segment capacities: ~2x the expected seed-diagonal
-    count of the batch on random sequence, padded for variance."""
-    caps = []
-    for meta_s in slot_meta:
-        n_words = meta_s[3]
-        expected = n_frags * tile_len * max(n_words, 1) >> (2 * word_len)
-        caps.append(-(-(2 * expected + 512) // 256) * 256)
-    return tuple(caps)
 
 
 def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
@@ -219,7 +255,7 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
                     t_canon_eval, eval_tabs, eval_loop2m,
                     *, slot_meta, eval_const, word_len, num_os, max_words,
                     wq_max, tile_len, cap, kcap, num_cond, n_frags,
-                    eval_on=False, full=False):
+                    s_max=1, k_max=1, eval_on=False, full=False):
     """Device program: seeds + per-slot screening DP for a fragment batch.
 
     frags:       (n_frags, tile_len) uint8 db codes, padded DB_UNKNOWN
@@ -235,15 +271,21 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
                  gathers).
 
     The candidate pool (all fragments x per-fragment compaction) is
-    stable-sorted by slot; each slot's segment is processed by one DP call
-    whose batch is the slot's static capacity (_slot_segment_caps).  An
-    inactive slot (no candidates) skips its DP via lax.cond.
+    stable-sorted by slot; because invalid entries sort after every real
+    slot, the sorted stream's first n_pool entries ARE the compacted
+    slot-major pool.  The screening DP + eval run over that stream in
+    uniform fixed-size chunks (lax.scan, one traced body), with every
+    per-slot quantity (oligo length, strand, thresholds, energy/eval
+    table rows) selected per entry — scalars by a select-chain, f32
+    table rows by an exact one-hot matmul.  Chunks wholly past the pool
+    are skipped via lax.cond; there is no per-slot segment capacity (and
+    so no per-slot overflow class) anymore.
 
     Returns (header, kept_block, slot, p, keep, needs_host, valid):
       header: 1-D int32 —
         [0]                      n_kept (total over the batch)
         [1 : 1+n]                per-fragment overflow flags
-        [1+n : 1+n+num_os]       per-slot segment-overflow flags
+        [1+n : 1+n+num_os]       reserved (always 0; layout compat)
         [... : ... + n]          per-fragment candidate counts
         [... : ... + n*num_os]   per-(fragment, slot) seed counts
       kept_block: (9, bkcap) int32 kept rows — flat_idx, slot, p, kmin,
@@ -261,8 +303,7 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
     nw_pos = L - word_len + 1
     bkcap = min(kcap * n, n * cap) if kcap else n * cap
     n_real = len(slot_meta)
-    seg_caps = _slot_segment_caps(slot_meta, n, tile_len, word_len)
-    max_seg = max(seg_caps)
+    wt_max = wq_max + 2 * C.NUM_FLANK_BASE
 
     # --- reconstruct fragment codes from the packed payload --------------
     # 2-bit base stream + synthesized padding + N-run mask + scattered
@@ -291,7 +332,8 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
 
     seed = functools.partial(
         _seed_fragment, word_len=word_len, num_os=num_os,
-        max_words=max_words, tile_len=tile_len, cap=cap)
+        max_words=max_words, tile_len=tile_len, cap=cap,
+        s_max=s_max, k_max=k_max)
     (slot, p, n_cand, counts, overflow, word,
      word_valid) = jax.vmap(seed, in_axes=(0, 0, None, None))(
         frags, frag_lens, oligo_words, w_table)
@@ -312,25 +354,16 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
     valid = rank < n_comp[frag_f]
 
     key = jnp.where(valid, slot_f, num_os)
-    order = jnp.argsort(key, stable=True)            # slot-major; within a
-    p_sorted = p_f[order]                            # slot: frag-major,
-    frag_sorted = frag_f[order]                      # p-ascending
-    # pad so dynamic_slice never clamps into a previous slot's tail
-    pad = jnp.zeros(max_seg, dtype=jnp.int32)
-    p_sorted = jnp.concatenate([p_sorted, pad])
-    frag_sorted = jnp.concatenate([frag_sorted, pad])
-    order_pad = jnp.concatenate([order.astype(jnp.int32), pad])
-
-    # Segment boundaries MUST be derived from the pooled compacted stream
-    # (exactly what the sorted arrays contain), never from the true seed
-    # counts: one fragment overflowing cap would otherwise shift every
-    # later slot's dynamic_slice and corrupt clean batchmates' kept-seed
-    # lists (the round-4 soundness bug).
-    slot_counts = jnp.bincount(
-        key, length=num_os + 1)[:num_os].astype(jnp.int32)
-    seg_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(slot_counts)])
-    slot_over = slot_counts[:n_real] > jnp.asarray(seg_caps, jnp.int32)
+    order = jnp.argsort(key, stable=True)
+    # The sort doubles as the pool compaction: invalid entries carry key
+    # num_os and land after every real slot, so the stream's first
+    # n_pool entries are the real candidates, slot-major (within a slot:
+    # fragment-major, p-ascending — the reference seed order).
+    slot_sorted = key[order]
+    p_sorted = p_f[order]
+    frag_sorted = frag_f[order]
+    order_i = order.astype(jnp.int32)
+    n_pool = valid.sum().astype(jnp.int32)
 
     frags_flat = frags.reshape(-1)
 
@@ -338,219 +371,206 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
     tc_all = (jnp.concatenate([t_canon, t_canon_eval[None]], axis=0)
               if eval_on else t_canon)
 
-    # --- per-slot screening DP, vmapped over oligo-length groups ---------
-    # The step is loop-dispatch-bound on TPU, not compute-bound
-    # (BASELINE.md round-4 decomposition): one sequential lax.scan per
-    # slot serializes ~n_real * wq tiny loop bodies.  Slots with the
-    # same oligo length share every shape, so `minus` becomes per-slot
-    # data and the whole slot (scan, filters, eval channel) runs under
-    # one vmap per distinct length — a handful of scans regardless of
-    # panel size.
-    groups = {}
-    for s, meta_s in enumerate(slot_meta):
-        groups.setdefault(meta_s[0], []).append(s)
+    # --- static per-slot data --------------------------------------------
+    ol_np = [int(m[0]) for m in slot_meta]
+    minus_np = [bool(m[1]) for m in slot_meta]
+    qp_np = np.zeros((max(n_real, 1), wq_max), np.int32)
+    qc_np = np.zeros((max(n_real, 1), wq_max), np.int32)
+    for s, m in enumerate(slot_meta):
+        qp_np[s, :m[0]] = m[2]
+        qc_np[s, :m[0]] = m[4]
+    # per-slot, per-row energy table rows (nc'*7 energies per target-pair
+    # value), selected per entry inside the scan by one-hot matmul
+    TS = tc_all[:, :, jnp.asarray(qp_np), :]     # (nc',30,n_real,wq,7)
+    TS = jnp.transpose(TS, (2, 3, 1, 0, 4)).reshape(
+        max(n_real, 1), wq_max, 30, nc_all * 7).astype(jnp.float32)
 
-    keep_segs = [None] * n_real
-    nh_segs = [None] * n_real
-    segpos_segs = [None] * n_real
-    ev_segs = [None] * n_real
-    for ol, g_slots in sorted(groups.items()):
-        Gs = len(g_slots)
-        wq_s = ol
-        wt_s = ol + 2 * C.NUM_FLANK_BASE
-        Bs = max(seg_caps[s] for s in g_slots)    # group DP capacity
-        sl = np.asarray(g_slots, dtype=np.int32)
-        cap_g = jnp.asarray([seg_caps[s] for s in g_slots], jnp.int32)
-        cnt_g = jnp.minimum(slot_counts[sl], cap_g)
-        minus_g = jnp.asarray([slot_meta[s][1] for s in g_slots])
-        pp_g = jnp.stack([jax.lax.dynamic_slice(
-            p_sorted, (seg_start[s],), (Bs,)) for s in g_slots])
-        fi_g = jnp.stack([jax.lax.dynamic_slice(
-            frag_sorted, (seg_start[s],), (Bs,)) for s in g_slots])
-        seg_valid_g = jnp.arange(Bs)[None, :] < cnt_g[:, None]
-
-        # per-slot, per-ROW energy operand T[r, v, (c, e)]: the scan
-        # consumes one row slice per iteration and the (tiny) row matmul
-        # happens inside the loop body — materializing the full
-        # (Gs, Bs, wt, wq, nc, 7) energy tensor as scan xs would cost
-        # gigabytes of HBM on a large panel
-        qp_g = np.asarray([slot_meta[s][2] for s in g_slots], np.int32)
-        Ts_g = tc_all[:, :, jnp.asarray(qp_g), :]    # (nc',30,Gs,wq,7)
-        Ts_g = jnp.transpose(Ts_g, (2, 3, 1, 0, 4)).reshape(
-            Gs, wq_s, 30, nc_all * 7).astype(jnp.float32)
-        thr_g = thresholds[:, sl].T                  # (Gs, nc)
-        if eval_on:
-            tabs_g = {
-                "Hstk": eval_tabs[sl, :ol, :, 0],
-                "Sstk": eval_tabs[sl, :ol, :, 1],
-                "Hlt": eval_tabs[sl, :ol, :, 2],
-                "Slt": eval_tabs[sl, :ol, :, 3],
-                "loop2m": eval_loop2m[sl, :ol + 1],
-                "AT_H": eval_const[0], "AT_S": eval_const[1],
-                "init_H": eval_const[2], "init_S": eval_const[3],
-                "q": jnp.asarray([slot_meta[s][4] for s in g_slots],
-                                 jnp.int32),
-            }
-        else:
-            tabs_g = None
-
-        def run_seg(pp, fi, seg_valid, Ts, thr_s, minus, tabs_s, *,
-                    Bs=Bs, wq_s=wq_s, wt_s=wt_s, ol=ol):
-            flen = frag_lens[fi]
-            start = pp - C.NUM_FLANK_BASE
-            full_win = (start >= 0) & (start + wt_s <= flen)
-            start_c = jnp.clip(start, 0, L - wt_s)
-            jj = jnp.arange(wt_s, dtype=jnp.int32)[None, :]
-            gidx = fi[:, None] * L + start_c[:, None] + jj
-            wcod = frags_flat[gidx].astype(jnp.int32)     # consecutive
-            wrev = jnp.flip(wcod, axis=1)
-            melt_m = jnp.where(wrev <= C.DB_MAX_ATGC, 3 - wrev,
-                               jnp.where(wrev == C.DB_I, 4, 99))
-            melt_p = jnp.where(wcod <= C.DB_I, wcod, 99)
-            melt = jnp.where(minus, melt_m, melt_p)
-            needs_host = (~full_win) | jnp.any(melt > 4, axis=1)
-            tb5 = jnp.where(melt <= 4, melt, 0)
-
-            # one-hot target-pair matmul: exact (one-hot rows select
-            # single integer-valued f32 entries; HIGHEST reproduces f32)
-            pt6 = jnp.concatenate(
-                [jnp.full((Bs, 1), 5, jnp.int32), tb5[:, :-1]], axis=1)
-            ptb = pt6 * NUM_T5 + tb5
-            ohp = (ptb[:, :, None]
-                   == jnp.arange(30)[None, None, :]).astype(jnp.float32)
-            neg1 = jnp.full((nc_all, Bs, wt_s + 1), -1, jnp.int32)
-            negg = jnp.full((Bs, wt_s + 1), NEG_I32, jnp.int32)
-
-            def row_step(carry, ts_row):
-                prevM, prevIq, prevIt, best, prevMg, mgmax = carry
-                # ts_row: (30, nc'*7) — this DP row's energies for every
-                # (condition, energy type); ohp is row-invariant
-                er = jnp.einsum('bjv,vk->bjk', ohp, ts_row,
-                                precision=jax.lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32)
-                e = jnp.round(er).astype(jnp.int32).reshape(
-                    Bs, wt_s, nc_all, 7)
-                e = jnp.moveaxis(e, 2, 0)             # (nc', Bs, wt, 7)
-                dgmm, dgmq, dgmt = e[..., 0], e[..., 1], e[..., 2]
-                dgqi, dgqe = e[..., 3], e[..., 4]
-                dgti, dgte = e[..., 5], e[..., 6]
-                m = jnp.maximum(
-                    jnp.maximum(_relu(prevM[..., :-1]) - dgmm,
-                                _relu(prevIq[..., :-1]) - dgmq),
-                    _relu(prevIt[..., :-1]) - dgmt)
-                it = jnp.maximum(_relu(prevM[..., 1:]) - dgti,
-                                 _relu(prevIt[..., 1:]) - dgte)
-                m_shift = jnp.concatenate(
-                    [jnp.full((nc_all, Bs, 1), -1, jnp.int32),
-                     m[..., :-1]], axis=2)
-                a = jnp.maximum(_relu(m_shift) - dgqi, -dgqe)
-                ssum = jnp.cumsum(dgqe, axis=2)
-                iq = jax.lax.cummax(a + ssum, axis=2) - ssum
-                best = jnp.maximum(best, jnp.max(m, axis=2))
-                z = neg1[..., :1]
-                newM = jnp.concatenate([z, m], 2)
-                newIq = jnp.concatenate([z, iq], 2)
-                newIt = jnp.concatenate([z, it], 2)
-                if eval_on:
-                    # gapped-best channel of the EVAL condition: best
-                    # M-state score among paths with >= 1 gap transition
-                    # (no relu restart - that would begin a new gapless
-                    # path); feeds the eval trust decision
-                    g1 = jnp.where(prevMg[:, :-1] >= 0,
-                                   prevMg[:, :-1] - dgmm[-1], NEG_I32)
-                    mg = jnp.maximum(
-                        jnp.maximum(g1,
-                                    _relu(prevIq[-1, :, :-1]) - dgmq[-1]),
-                        _relu(prevIt[-1, :, :-1]) - dgmt[-1])
-                    newMg = jnp.concatenate([negg[:, :1], mg], 1)
-                    mgmax = jnp.maximum(mgmax, jnp.max(mg, axis=1))
-                    ys = newM[-1]
-                else:
-                    newMg = prevMg
-                    ys = jnp.zeros((Bs, wt_s + 1), jnp.int32)
-                return (newM, newIq, newIt, best, newMg, mgmax), ys
-
-            init = (neg1, neg1, neg1,
-                    jnp.full((nc_all, Bs), -1, jnp.int32),
-                    negg, jnp.full((Bs,), NEG_I32, jnp.int32))
-            (_, _, _, best, _, mgmax), M_rows = jax.lax.scan(
-                row_step, init, Ts)
-
-            keep = jnp.ones(Bs, dtype=bool)
-            for c in range(num_cond):
-                keep = keep & ((best[c] >= thr_s[c])
-                               | (thr_s[c] == INT_MIN))
-
-            if eval_on:
-                ev = eval_segment(M_rows, mgmax, tb5, tabs_s)
-                trusted = ev["trusted"] & ~needs_host & seg_valid
-                w0 = (trusted.astype(jnp.int32)
-                      | (ev["tm_zero"].astype(jnp.int32) << 1)
-                      | (jnp.clip(ev["num_base"], 0, 255) << 2)
-                      | (jnp.clip(ev["mm"], 0, 63) << 10)
-                      | (jnp.clip(ev["align_len"], 0, 63) << 16))
-                w1 = ((ev["fm_q"] & 0xFF)
-                      | ((ev["fm_t"] & 0xFF) << 8)
-                      | ((ev["lm_q"] & 0xFF) << 16)
-                      | ((ev["lm_t"] & 0xFF) << 24))
-                w2 = ((ev["anchor5"] & 0xFF)
-                      | ((ev["anchor3"] & 0xFF) << 8))
-                w3 = ev["dH"].view(jnp.int32)
-                w4 = ev["dS"].view(jnp.int32)
-                evw = jnp.stack([w0, w1, w2, w3, w4], axis=1)
-            else:
-                evw = jnp.zeros((Bs, 5), jnp.int32)
-            return ((keep | needs_host) & seg_valid,
-                    needs_host & seg_valid, evw)
-
-        tabs_ax = ({"Hstk": 0, "Sstk": 0, "Hlt": 0, "Slt": 0,
-                    "loop2m": 0, "AT_H": None, "AT_S": None,
-                    "init_H": None, "init_S": None, "q": 0}
-                   if eval_on else None)
-        run_g = jax.vmap(run_seg, in_axes=(0, 0, 0, 0, 0, 0, tabs_ax))
-
-        def go_group(args):
-            return run_g(*args)
-
-        def skip_group(args, *, Gs=Gs, Bs=Bs):
-            return (jnp.zeros((Gs, Bs), bool), jnp.zeros((Gs, Bs), bool),
-                    jnp.zeros((Gs, Bs, 5), jnp.int32))
-
-        keep_g, nh_g, ev_g = jax.lax.cond(
-            jnp.any(cnt_g > 0), go_group, skip_group,
-            (pp_g, fi_g, seg_valid_g, Ts_g, thr_g, minus_g, tabs_g))
-        for gi, s in enumerate(g_slots):
-            keep_s = keep_g[gi]
-            # an overflowed slot contributes nothing (host fallback)
-            if num_cond:
-                keep_s = keep_s & (slot_counts[s] <= seg_caps[s])
-            keep_segs[s] = keep_s
-            nh_segs[s] = nh_g[gi]
-            ev_segs[s] = ev_g[gi]
-            segpos_segs[s] = seg_start[s] + jnp.arange(Bs, dtype=jnp.int32)
-
-    if keep_segs:
-        keep_all = jnp.concatenate(keep_segs)
-        nh_all = jnp.concatenate(nh_segs)
-        ev_all = jnp.concatenate(ev_segs)
-        segpos_all = jnp.concatenate(segpos_segs)
+    # --- flat chunked screening DP over the pooled stream ----------------
+    CH = min(SCREEN_CHUNK, Bp)
+    n_chunks = -(-Bp // CH)
+    pad_to = n_chunks * CH
+    if pad_to > Bp:
+        padz = jnp.zeros(pad_to - Bp, jnp.int32)
+        slot_str = jnp.concatenate(
+            [slot_sorted, jnp.full(pad_to - Bp, num_os, jnp.int32)])
+        p_str = jnp.concatenate([p_sorted, padz])
+        frag_str = jnp.concatenate([frag_sorted, padz])
+        order_str = jnp.concatenate([order_i, padz])
     else:
-        keep_all = jnp.zeros(1, bool)
-        nh_all = jnp.zeros(1, bool)
-        ev_all = jnp.zeros((1, 5), jnp.int32)
-        segpos_all = jnp.zeros(1, jnp.int32)
+        slot_str, p_str, frag_str, order_str = (
+            slot_sorted, p_sorted, frag_sorted, order_i)
+
+    def run_chunk(sl, pp, fi):
+        B = CH
+        ent_valid = sl < num_os
+        # per-entry slot scalars (exact select-chains over the real slots)
+        ql = jnp.full(B, 1, jnp.int32)
+        minus = jnp.zeros(B, bool)
+        thr_e = jnp.full((num_cond, B), INT_MIN, jnp.int32)
+        for s in range(n_real):
+            m_s = sl == s
+            ql = jnp.where(m_s, ol_np[s], ql)
+            if minus_np[s]:
+                minus = minus | m_s
+            thr_e = jnp.where(m_s[None, :], thresholds[:, s:s + 1], thr_e)
+        wt_e = ql + 2 * C.NUM_FLANK_BASE
+        oh_s = (sl[:, None] == jnp.arange(max(n_real, 1))[None, :]
+                ).astype(jnp.float32)
+
+        flen = frag_lens[jnp.clip(fi, 0, n - 1)]
+        start = pp - C.NUM_FLANK_BASE
+        full_win = (start >= 0) & (start + wt_e <= flen)
+        start_c = jnp.clip(start, 0, L - wt_max)
+        jj = jnp.arange(wt_max, dtype=jnp.int32)
+        gidx = fi[:, None] * L + start_c[:, None] + jj[None, :]
+        wcod = frags_flat[gidx].astype(jnp.int32)       # (B, wt_max)
+        # minus-strand complement + reversal within the true width
+        rev_idx = jnp.clip(wt_e[:, None] - 1 - jj[None, :], 0, wt_max - 1)
+        wrev = jnp.take_along_axis(wcod, rev_idx, axis=1)
+        melt_m = jnp.where(wrev <= C.DB_MAX_ATGC, 3 - wrev,
+                           jnp.where(wrev == C.DB_I, 4, 99))
+        melt_p = jnp.where(wcod <= C.DB_I, wcod, 99)
+        melt = jnp.where(minus[:, None], melt_m, melt_p)
+        col_ok = jj[None, :] < wt_e[:, None]
+        needs_host = (~full_win) | jnp.any((melt > 4) & col_ok, axis=1)
+        tb5 = jnp.where((melt <= 4) & col_ok, melt, 0)
+
+        # one-hot target-pair operand: exact (one-hot rows select single
+        # integer-valued f32 entries; HIGHEST reproduces f32)
+        pt6 = jnp.concatenate(
+            [jnp.full((B, 1), 5, jnp.int32), tb5[:, :-1]], axis=1)
+        ptb = pt6 * NUM_T5 + tb5
+        ohp = (ptb[:, :, None]
+               == jnp.arange(30)[None, None, :]).astype(jnp.float32)
+        neg1 = jnp.full((nc_all, B, wt_max + 1), -1, jnp.int32)
+        negg = jnp.full((B, wt_max + 1), NEG_I32, jnp.int32)
+
+        def row_step(carry, xs):
+            prevM, prevIq, prevIt, best, prevMg, mgmax = carry
+            ts_row, r_idx = xs          # ts_row: (n_real, 30, nc'*7)
+            rv = r_idx < ql             # (B,) row validity
+            mvalid = col_ok & rv[:, None]
+            T_eff = jnp.einsum('bs,svk->bvk', oh_s, ts_row,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+            er = jnp.einsum('bjv,bvk->bjk', ohp, T_eff,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+            e = jnp.round(er).astype(jnp.int32).reshape(
+                B, wt_max, nc_all, 7)
+            e = jnp.moveaxis(e, 2, 0)               # (nc', B, wt, 7)
+            dgmm, dgmq, dgmt = e[..., 0], e[..., 1], e[..., 2]
+            dgqi, dgqe = e[..., 3], e[..., 4]
+            dgti, dgte = e[..., 5], e[..., 6]
+            m = jnp.maximum(
+                jnp.maximum(_relu(prevM[..., :-1]) - dgmm,
+                            _relu(prevIq[..., :-1]) - dgmq),
+                _relu(prevIt[..., :-1]) - dgmt)
+            it = jnp.maximum(_relu(prevM[..., 1:]) - dgti,
+                             _relu(prevIt[..., 1:]) - dgte)
+            m_shift = jnp.concatenate(
+                [jnp.full((nc_all, B, 1), -1, jnp.int32),
+                 m[..., :-1]], axis=2)
+            a = jnp.maximum(_relu(m_shift) - dgqi, -dgqe)
+            ssum = jnp.cumsum(dgqe, axis=2)
+            iq = jax.lax.cummax(a + ssum, axis=2) - ssum
+            best = jnp.maximum(
+                best, jnp.max(jnp.where(mvalid[None], m, -1), axis=2))
+            z = neg1[..., :1]
+            newM = jnp.concatenate([z, m], 2)
+            newIq = jnp.concatenate([z, iq], 2)
+            newIt = jnp.concatenate([z, it], 2)
+            if eval_on:
+                # gapped-best channel of the EVAL condition: best
+                # M-state score among paths with >= 1 gap transition
+                # (no relu restart - that would begin a new gapless
+                # path); feeds the eval trust decision
+                g1 = jnp.where(prevMg[:, :-1] >= 0,
+                               prevMg[:, :-1] - dgmm[-1], NEG_I32)
+                mg = jnp.maximum(
+                    jnp.maximum(g1,
+                                _relu(prevIq[-1, :, :-1]) - dgmq[-1]),
+                    _relu(prevIt[-1, :, :-1]) - dgmt[-1])
+                newMg = jnp.concatenate([negg[:, :1], mg], 1)
+                mgmax = jnp.maximum(
+                    mgmax, jnp.max(jnp.where(mvalid, mg, NEG_I32),
+                                   axis=1))
+                ys = newM[-1]
+            else:
+                newMg = prevMg
+                ys = jnp.zeros((B, wt_max + 1), jnp.int32)
+            return (newM, newIq, newIt, best, newMg, mgmax), ys
+
+        init = (neg1, neg1, neg1,
+                jnp.full((nc_all, B), -1, jnp.int32),
+                negg, jnp.full((B,), NEG_I32, jnp.int32))
+        xs = (jnp.moveaxis(TS, 1, 0),
+              jnp.arange(wq_max, dtype=jnp.int32))
+        (_, _, _, best, _, mgmax), M_rows = jax.lax.scan(
+            row_step, init, xs)
+
+        keep = jnp.ones(B, dtype=bool)
+        for c in range(num_cond):
+            keep = keep & ((best[c] >= thr_e[c])
+                           | (thr_e[c] == INT_MIN))
+
+        if eval_on:
+            qcode = jnp.round(jnp.dot(
+                oh_s, jnp.asarray(qc_np, np.float32),
+                precision=jax.lax.Precision.HIGHEST)).astype(jnp.int32)
+            ev = eval_flat(M_rows, mgmax, tb5, qcode, ql, wt_e, oh_s,
+                           eval_tabs[:max(n_real, 1)],
+                           eval_loop2m[:max(n_real, 1)], eval_const)
+            trusted = ev["trusted"] & ~needs_host & ent_valid
+            w0 = (trusted.astype(jnp.int32)
+                  | (ev["tm_zero"].astype(jnp.int32) << 1)
+                  | (jnp.clip(ev["num_base"], 0, 255) << 2)
+                  | (jnp.clip(ev["mm"], 0, 63) << 10)
+                  | (jnp.clip(ev["align_len"], 0, 63) << 16))
+            w1 = ((ev["fm_q"] & 0xFF)
+                  | ((ev["fm_t"] & 0xFF) << 8)
+                  | ((ev["lm_q"] & 0xFF) << 16)
+                  | ((ev["lm_t"] & 0xFF) << 24))
+            w2 = ((ev["anchor5"] & 0xFF)
+                  | ((ev["anchor3"] & 0xFF) << 8))
+            w3 = ev["dH"].view(jnp.int32)
+            w4 = ev["dS"].view(jnp.int32)
+            evw = jnp.stack([w0, w1, w2, w3, w4], axis=1)
+        else:
+            evw = jnp.zeros((B, 5), jnp.int32)
+        return ((keep | needs_host) & ent_valid,
+                needs_host & ent_valid, evw)
+
+    def chunk_step(_, xs):
+        sl, pp, fi, c0 = xs
+        active = n_pool > c0
+
+        def go(args):
+            return run_chunk(*args)
+
+        def skip(args):
+            return (jnp.zeros(CH, bool), jnp.zeros(CH, bool),
+                    jnp.zeros((CH, 5), jnp.int32))
+
+        return None, jax.lax.cond(active, go, skip, (sl, pp, fi))
+
+    xs_c = (slot_str.reshape(n_chunks, CH), p_str.reshape(n_chunks, CH),
+            frag_str.reshape(n_chunks, CH),
+            jnp.arange(n_chunks, dtype=jnp.int32) * CH)
+    _, (keep_c, nh_c, ev_c) = jax.lax.scan(chunk_step, None, xs_c)
+    keep_all = keep_c.reshape(pad_to)
+    nh_all = nh_c.reshape(pad_to)
+    ev_all = ev_c.reshape(pad_to, 5)
 
     # --- kept-seed compaction + kmin recomputation -----------------------
     n_kept = keep_all.sum().astype(jnp.int32)
-    (kept_seg,) = jnp.nonzero(keep_all, size=bkcap,
-                              fill_value=keep_all.shape[0])
-    kv = kept_seg < keep_all.shape[0]
-    ks = jnp.clip(kept_seg, 0, keep_all.shape[0] - 1)
-    sorted_pos = jnp.clip(segpos_all[ks], 0, Bp + max_seg - 1)
-    pool_idx = jnp.where(kv, order_pad[sorted_pos], 0)
-    os_k = jnp.where(kv, slot_f[jnp.clip(pool_idx, 0, Bp - 1)], 0)
-    p_k = jnp.where(kv, p_f[jnp.clip(pool_idx, 0, Bp - 1)], 0)
-    f_k = jnp.where(kv, frag_f[jnp.clip(pool_idx, 0, Bp - 1)], 0)
+    (kept_idx,) = jnp.nonzero(keep_all, size=bkcap, fill_value=pad_to)
+    kv = kept_idx < pad_to
+    ks = jnp.clip(kept_idx, 0, pad_to - 1)
+    os_k = jnp.where(kv, slot_str[ks], 0)
+    p_k = jnp.where(kv, p_str[ks], 0)
+    f_k = jnp.where(kv, frag_str[ks], 0)
+    pool_idx = jnp.where(kv, order_str[ks], 0)
 
     # representative word index: smallest k with a word match on the
     # diagonal (reference first-occurrence dedup, bind_oligo.cpp:33-47)
@@ -560,7 +580,7 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
     gidx = f_k[:, None] * nw_pos + jnp.clip(tpos, 0, nw_pos - 1)
     wv = word.reshape(-1)[gidx]
     wok = word_valid.reshape(-1)[gidx] & tin
-    ow_sel = oligo_words[os_k]                        # (bkcap, max_words)
+    ow_sel = oligo_words[jnp.clip(os_k, 0, num_os - 1)]
     match = wok & (ow_sel >= 0) & (wv == ow_sel)
     kmin_k = jnp.min(jnp.where(match, kk, max_words), axis=1)
     kmin_k = jnp.where(kv, kmin_k, 0)
@@ -568,20 +588,18 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
     ev_k = jnp.where(kv[:, None], ev_all[ks], 0)
     header = jnp.concatenate([
         n_kept[None], overflow.astype(jnp.int32),
-        jnp.zeros(num_os, jnp.int32).at[:n_real].set(
-            slot_over.astype(jnp.int32)),
+        jnp.zeros(num_os, jnp.int32),
         n_cand, counts.reshape(-1)])
     kept_block = jnp.stack([
-        pool_idx.astype(jnp.int32), os_k, p_k, kmin_k,
+        pool_idx, os_k, p_k, kmin_k,
         ev_k[:, 0], ev_k[:, 1], ev_k[:, 2], ev_k[:, 3], ev_k[:, 4]])
 
     if full:
         # pool-order keep/needs_host (tests): scatter through the sort
-        dst = order_pad[jnp.clip(segpos_all, 0, Bp + max_seg - 1)]
         keep_out = jnp.zeros(Bp, bool).at[
-            jnp.where(keep_all, dst, Bp)].set(True, mode="drop")
+            jnp.where(keep_all, order_str, Bp)].set(True, mode="drop")
         nh_out = jnp.zeros(Bp, bool).at[
-            jnp.where(nh_all, dst, Bp)].set(True, mode="drop")
+            jnp.where(nh_all, order_str, Bp)].set(True, mode="drop")
         keep_out = keep_out.reshape(n, cap)
         nh_out = nh_out.reshape(n, cap)
     else:
@@ -593,7 +611,8 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
 
 
 @functools.lru_cache(maxsize=None)
-def _panel_step(cfg_key, slot_meta, eval_const, n_frags, eval_on, full):
+def _panel_step(cfg_key, slot_meta, eval_const, n_frags, s_max, k_max,
+                eval_on, full):
     """Module-level jit cache: the SAME compiled program serves every
     DevicePanel instance with identical static configuration — a fresh
     panel per search (e.g. every bench iteration) must not retrace or
@@ -607,7 +626,7 @@ def _panel_step(cfg_key, slot_meta, eval_const, n_frags, eval_on, full):
         word_len=word_len, num_os=num_os, max_words=max_words,
         wq_max=wq_max, tile_len=tile_len, cap=cap,
         kcap=kcap, num_cond=num_cond, n_frags=n_frags,
-        eval_on=eval_on, full=full))
+        s_max=s_max, k_max=k_max, eval_on=eval_on, full=full))
 
 
 class DevicePanel:
@@ -664,14 +683,29 @@ class DevicePanel:
         tcan_eval = (build_t_canon(eval_dg) if self.eval_on
                      else np.zeros((30, 30, 7), np.int32))
         # word -> per-slot k-bitmask lookup (fast seeding path); gated by
-        # table size and bitmask width, with a (1, num_os) dummy that
-        # statically selects the dense compare fallback in _seed_fragment
+        # table size, bitmask width, and the extraction lane product
+        # (s_max*k_max — heavily shared words would blow up the lane
+        # tensors), with a (1, num_os) dummy that statically selects the
+        # dense compare fallback in _seed_fragment
         tw = 4 ** cfg.word_len
+        self.s_max = 1
+        self.k_max = 1
         if tw * cfg.num_os <= (16 << 20) and cfg.max_words <= 31:
             w_tab = np.zeros((tw, cfg.num_os), np.int32)
             for i, o in enumerate(panel):
                 for k, v in enumerate(o["words"]):
                     w_tab[int(v), i] |= (1 << k)
+            occ_rows = (w_tab != 0).sum(axis=1)
+            pop = np.zeros_like(w_tab)
+            for b in range(31):
+                pop += (w_tab >> b) & 1
+            s_max = max(1, int(occ_rows.max(initial=0)))
+            k_max = max(1, int(pop.max(initial=0)))
+            if s_max * k_max <= 8:
+                self.s_max = s_max
+                self.k_max = k_max
+            else:
+                w_tab = np.zeros((1, cfg.num_os), np.int32)
         else:
             w_tab = np.zeros((1, cfg.num_os), np.int32)
         self.args = (jnp.asarray(ow), jnp.asarray(w_tab),
@@ -683,7 +717,8 @@ class DevicePanel:
     def _step(self, n_frags, full):
         cfg = self.config
         return _panel_step(cfg.key(), self.slot_meta, self.eval_const,
-                           n_frags, self.eval_on, full)
+                           n_frags, self.s_max, self.k_max,
+                           self.eval_on, full)
 
     # host->device payload compression: fragments ride as a 2-bit base
     # stream (4 bases/byte) plus a sideband of N-runs and scattered

@@ -51,14 +51,17 @@ def _mesh_cached(devices, axis_name):
 
 
 def build_sharded_step(mesh, cfg: PanelConfig, n_local, slot_meta,
-                       eval_const, eval_on, axis_name="data", full=False):
+                       eval_const, s_max, k_max, eval_on,
+                       axis_name="data", full=False):
     return _sharded_step_cached(mesh, cfg.key(), n_local, slot_meta,
-                                eval_const, eval_on, axis_name, full)
+                                eval_const, s_max, k_max, eval_on,
+                                axis_name, full)
 
 
 @functools.lru_cache(maxsize=None)
 def _sharded_step_cached(mesh, cfg_key, n_local, slot_meta,
-                         eval_const, eval_on, axis_name, full):
+                         eval_const, s_max, k_max, eval_on, axis_name,
+                         full):
     """jit-compiled SPMD step, shared across MeshPanel instances (jax
     Mesh is hashable): (n_dev * n_local, tile_len) fragments sharded
     over the mesh; each device runs the pooled panel step on its local
@@ -74,7 +77,8 @@ def _sharded_step_cached(mesh, cfg_key, n_local, slot_meta,
         word_len=cfg.word_len, num_os=cfg.num_os,
         max_words=cfg.max_words, wq_max=cfg.wq_max, tile_len=cfg.tile_len,
         cap=cfg.cap, kcap=cfg.kcap, num_cond=cfg.num_cond,
-        n_frags=n_local, eval_on=eval_on, full=full)
+        n_frags=n_local, s_max=s_max, k_max=k_max,
+        eval_on=eval_on, full=full)
 
     def local_shard(fp, frag_lens, rs, re_, ep, ec, iov,
                     ow, wtab, tcan, thr, tce, evt, evl):
@@ -133,7 +137,8 @@ class MeshPanel(DevicePanel):
         if step is None:
             step = self._steps[(n_local, full)] = build_sharded_step(
                 self.mesh, cfg, n_local, self.slot_meta, self.eval_const,
-                self.eval_on, self.axis_name, full=full)
+                self.s_max, self.k_max, self.eval_on, self.axis_name,
+                full=full)
         payload_d = tuple(jax.device_put(a, self._data_sharding)
                           for a in payload)
         if self._args_d is None:

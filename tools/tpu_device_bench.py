@@ -174,7 +174,8 @@ def phase_micro_and_staged(fna, panel):
     n = len(frags)
     seedf = functools.partial(
         _seed_fragment, word_len=cfg.word_len, num_os=cfg.num_os,
-        max_words=cfg.max_words, tile_len=cfg.tile_len, cap=cfg.cap)
+        max_words=cfg.max_words, tile_len=cfg.tile_len, cap=cfg.cap,
+        s_max=dp.s_max, k_max=dp.k_max)
     ow, w_tab = dp.args[0], dp.args[1]
     L = cfg.tile_len
 

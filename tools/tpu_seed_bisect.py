@@ -85,6 +85,7 @@ def main():
 
     @jax.jit
     def s5(fp, fl, ns, ne, ep, ec, ov):
+        # + mask gather + slot/k lane extraction (no sort)
         fr = unpack(fp, fl, ns, ne, ep, ec)
         word, wv = words_of(fr, fl)
         a_any = (w_tab != 0).any(axis=1)
@@ -94,20 +95,35 @@ def main():
             w_ok = widx < nw_pos
             wsel = jnp.clip(widx, 0, nw_pos - 1)
             masks = jnp.where(w_ok[:, None], w_tab[wrd[wsel]], 0)
-            (pidx,) = jnp.nonzero((masks != 0).reshape(-1), size=cap, fill_value=cap * num_os)
-            return masks.sum() + pidx.sum()
+            occ = (masks != 0)
+            m0 = jnp.zeros(cap, jnp.int32)
+            m1 = jnp.zeros(cap, jnp.int32)
+            for s_ in range(num_os):
+                b = occ[:, s_].astype(jnp.int32)
+                if s_ < 32:
+                    m0 = m0 | (b << s_)
+                else:
+                    m1 = m1 | (b << (s_ - 32))
+            acc = jnp.zeros(cap, jnp.int32)
+            for _ in range(dp.s_max):
+                nz0 = m0 != 0
+                b0 = m0 & -m0
+                acc = acc + jnp.where(nz0, jax.lax.population_count(b0 - 1), 0)
+                m0 = jnp.where(nz0, m0 & (m0 - 1), m0)
+            return acc.sum() + m1.sum()
         return jax.vmap(one)(word, any_m).sum()[None]
 
     from tntblast_tpu.parallel.device_search import _seed_fragment
     seedf = functools.partial(_seed_fragment, word_len=w, num_os=num_os,
-                              max_words=max_words, tile_len=L, cap=cap)
+                              max_words=max_words, tile_len=L, cap=cap,
+                              s_max=dp.s_max, k_max=dp.k_max)
     @jax.jit
     def s6(fp, fl, ns, ne, ep, ec, ov):
         fr = unpack(fp, fl, ns, ne, ep, ec)
         out = jax.vmap(seedf, in_axes=(0, 0, None, None))(fr, fl, ow, w_tab)
         return (out[0].sum() + out[1].sum() + out[3].sum())[None]
 
-    names = ["unpack", "+words", "+anymatch", "+nonzero1", "+mask+nonzero2", "full_seed"]
+    names = ["unpack", "+words", "+anymatch", "+nonzero1", "+lanes", "full_seed"]
     for name, fn in zip(names, (s1, s2, s3, s4, s5, s6)):
         try:
             out = fn(*payload); np.asarray(out)
