@@ -14,6 +14,7 @@ the host-side orchestration layer.
 """
 
 import sys
+import time
 
 import numpy as np
 
@@ -312,8 +313,30 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
     # share one _BatchHandle slot, so the panel never runs per query
     # (VERDICT r4 #9 — this combination used to fall back to the
     # sequential loop and silently lose host parallelism).
-    seg_on = opt.query_segmentation == C.QUERY_SEGMENTATION_ON
-    qlist = list(range(num_sig)) if seg_on else [None]
+    seg_mode = opt.query_segmentation
+    num_probes = probe_only_count(opt.sig_list)
+    default_qt = C.DEFAULT_QT * (
+        num_probes * (2.0 if opt.target_strand == C.SEQ_STRAND_BOTH
+                      else 1.0)
+        + (num_sig - num_probes) * 4.0) / num_sig
+    # Measured search/load ratio feeding the ADAPTIVE scheduler
+    # (reference tntblast_local.cpp:722-735; num_worker is the thread
+    # count, :331): each completed full-query work item contributes
+    # (query time / num_sig) / (its fragment's load+index time), and the
+    # running mean replaces the assay-type default once samples exist.
+    # Either decision yields the identical hit list (the query axis only
+    # repartitions work), so the lag between enqueue-time decisions and
+    # worker-side measurements is benign.
+    qt_state = {"total": 0.0, "count": 0}
+    effective_left = [db.effective_size(opt.fragment_target_threshold)]
+    seg_flag = [seg_mode == C.QUERY_SEGMENTATION_ON]
+
+    def _seg_decide():
+        ratio = (default_qt if qt_state["count"] == 0
+                 else qt_state["total"] / qt_state["count"])
+        return query_sched(effective_left[0], num_sig, n_threads, ratio,
+                           seg_mode)
+
     inv_total = 1.0 / (float(db.size()) * float(num_sig))
 
     progress = ProgressDisplay(stdout, opt.verbose)
@@ -342,8 +365,13 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
             with ctx_lock:
                 open_ctxs.discard(prev[1])
             prev[1].close()
+        t0 = time.perf_counter()
         ctx = NativeFragContext(engine, seq_codes, opt.hash_word_size,
                                 defline, panel_result=panel_result)
+        # T_time analogue: load/index cost of this fragment on this
+        # thread; retained across same-fragment reuse like the
+        # reference's per-thread T_time (tntblast_local.cpp:493-540)
+        ctx.t_load = time.perf_counter() - t0
         ctx.stats_seen = {"evaluated": 0, "screened": 0,
                           "dev_evaluated": 0}
         ctx.phases_seen = {}
@@ -369,6 +397,7 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
         ctx = _thread_ctx((local_target, local_target_start), seq_codes,
                           defline, panel_result)
         per_sig = []
+        q_time0 = time.perf_counter()
         for sig in _sig_subset(opt, query_idx):
             local_results = search_assay(ctx, sig, opt)
             kept = []
@@ -391,12 +420,24 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
                     for k in phases}
         ctx.stats_seen = stats
         ctx.phases_seen = phases
-        return per_sig, d_stats, d_phases
+        # QT sample on work items that complete the query axis
+        # (reference tntblast_local.cpp:719-735: accumulate when
+        # local_query reaches num_sig — i.e. a full-query item, or the
+        # single-query item of the LAST query)
+        qt_sample = None
+        if query_idx is None or query_idx == num_sig - 1:
+            q_tmp = max(0.0, time.perf_counter() - q_time0) / num_sig
+            if ctx.t_load > 0.0:
+                qt_sample = q_tmp / ctx.t_load
+        return per_sig, d_stats, d_phases, qt_sample
 
     def apply_result(result, local_target, query_idx):
         per_sig = None
         if result is not None:
-            per_sig, stats, phases = result
+            per_sig, stats, phases, qt_sample = result
+            if qt_sample is not None:
+                qt_state["total"] += qt_sample
+                qt_state["count"] += 1
             state.profile["evaluated"] += stats["evaluated"]
             state.profile["screened"] += stats["screened"]
             state.profile["dev_evaluated"] += stats.get("dev_evaluated", 0)
@@ -412,7 +453,7 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
                         kept + state.search_results[sig_id])
         done_q = num_sig if query_idx is None else query_idx + 1
         progress.update((local_target * num_sig + done_q) * inv_total,
-                        seg_on)
+                        seg_flag[0])
 
     batch_n = getattr(panel_mgr, "batch", 1) if panel_mgr is not None else 1
 
@@ -429,14 +470,20 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
                 if w:
                     dev = (handle, j)
                     j += 1
-                tgt_a, start_a, stop_a, max_stop_a, defline_a, seq_a = a
-                for qidx in qlist:
+                (tgt_a, start_a, stop_a, max_stop_a, defline_a,
+                 seq_a, q_items_a) = a
+                for qidx in q_items_a:
                     pending.append((pool.submit(
                         work, tgt_a, start_a, stop_a, max_stop_a, qidx,
                         defline_a, seq_a, dev), tgt_a, qidx))
             buf.clear()
 
         for (tgt, start, stop, max_stop) in items:
+            seg_now = _seg_decide()
+            seg_flag[0] = seg_now
+            q_items = list(range(num_sig)) if seg_now else [None]
+            if effective_left[0]:
+                effective_left[0] -= 1
             defline, seq_codes = db.read(tgt, start,
                                          stop + max_product_length)
             wants_dev = (panel_mgr is not None and not panel_mgr.dead
@@ -447,11 +494,11 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
                 # the fragment's query items all share the same handle
                 # slot, resolved once on the handle's thread
                 buf.append(((tgt, start, stop, max_stop, defline,
-                             seq_codes), wants_dev))
+                             seq_codes, q_items), wants_dev))
                 if sum(1 for _, w in buf if w) >= batch_n:
                     flush_buf()
             else:
-                for qidx in qlist:
+                for qidx in q_items:
                     pending.append(
                         (pool.submit(work, tgt, start, stop, max_stop,
                                      qidx, defline, seq_codes, None),
@@ -477,6 +524,9 @@ def _run_search_parallel(opt, db, engine, stdout, n_threads,
         state.profile["device_seeds"] = panel_mgr.stats["seeds"]
         state.profile["device_kept"] = panel_mgr.stats["kept"]
         _warn_fallback(panel_mgr)
+    state.profile["qt_count"] = qt_state["count"]
+    state.profile["qt_ratio"] = (qt_state["total"] / qt_state["count"]
+                                 if qt_state["count"] else None)
     progress.finish()
     return state
 
@@ -575,6 +625,7 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
     last_target = -1
     last_target_start = 0
     target_len = 0
+    t_load = 0.0
     ctx = None
 
     while True:
@@ -620,6 +671,7 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
         same_target = (last_target == local_target
                        and last_target_start == local_target_start)
         if not same_target:
+            t_load0 = time.perf_counter()
             defline, seq_codes = db.read(
                 local_target, local_target_start,
                 local_target_stop + max_product_length)
@@ -642,6 +694,12 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
             ctx = NativeFragContext(engine, seq_codes,
                                     opt.hash_word_size, defline,
                                     panel_result=panel_result)
+            # T_time: the measured load+index cost of this fragment —
+            # the denominator of the adaptive scheduler's search/load
+            # ratio (reference tntblast_local.cpp:493-540; reused
+            # unchanged for same_target work items, exactly like the
+            # reference's per-thread T_time variable)
+            t_load = time.perf_counter() - t_load0
             last_target = local_target
             last_target_start = local_target_start
 
@@ -649,6 +707,7 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
         if not single_query:
             local_query = 0
 
+        q_time0 = time.perf_counter()
         while True:
             sig = opt.sig_list[local_query]
             local_results = search_assay(ctx, sig, opt)
@@ -673,7 +732,15 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
             else:
                 state.search_results[sig.id] = (
                     kept + state.search_results[sig.id])
-            qt_count += 1 if local_query >= num_sig else 0
+            if local_query >= num_sig:
+                # Measured search/load ratio feeding query_sched
+                # (reference tntblast_local.cpp:722-735): per-query
+                # search time (always normalized by num_sig) over the
+                # fragment's measured load+index time.
+                q_tmp = max(0.0, time.perf_counter() - q_time0) / num_sig
+                if t_load > 0.0:
+                    total_qt += q_tmp / t_load
+                qt_count += 1
 
             if single_query or local_query >= num_sig:
                 break
@@ -690,6 +757,8 @@ def run_search(opt, db: SequenceDatabase, engine, stdout=None):
     if panel_mgr is not None:
         state.profile["device_calls"] = panel_mgr.stats["fragments"]
         _warn_fallback(panel_mgr)
+    state.profile["qt_count"] = qt_count
+    state.profile["qt_ratio"] = (total_qt / qt_count) if qt_count else None
     progress.finish()
     return state
 
