@@ -8,23 +8,23 @@ assay panel at once:
   2. seed-diagonal detection for every (oligo, strand): diagonal p carries
      a seed iff some compacted oligo word k matches the target word at
      p + k; the representative hit is the smallest such k (the reference's
-     first-occurrence-per-diagonal dedup, bind_oligo.cpp:33-47),
-  3. two-stage fixed-capacity compaction of seed diagonals (any-slot
-     positions first, then (position, slot) pairs — the dense bitmap is
-     only scanned once at fragment length, not once per slot),
-  4. POOLING of all fragments' candidates into one stream, stable-sorted
-     by slot so the screening DP runs one fixed-shape call per slot with
-     the slot's oligo length, strand and per-row energy tables folded in
-     as compile-time constants — the energy materialization is a single
-     constant-operand one-hot MXU matmul per slot (bit-exact integers, no
-     gathers; measured ~170x faster than the per-window gather form),
-  5. candidate window gather (start = p-4, width oligo_len+8, minus-strand
-     windows complemented and reversed — bind_oligo.cpp:136-254; windows
-     clipped by a fragment edge or containing any non-{A,C,G,T,I} base are
-     routed to the host),
-  6. the exact-integer thermodynamic DP (ops/thermo_dp.dp_scores_canon)
-     at each screening temperature, producing a conservative keep/discard
-     verdict per window (see screen.py for the proof).
+     first-occurrence-per-diagonal dedup, bind_oligo.cpp:33-47) — matches
+     are extracted per any-match position by lowest-set-bit lanes and
+     deduped with ONE small sort (see _seed_fragment),
+  3. POOLING of all fragments' candidates into one slot-major stream:
+     the stable argsort by slot doubles as the pool compaction (invalid
+     keys sort last),
+  4. a flat chunked screening DP over the stream (one lax.scan body for
+     uniform 32k-entry chunks): windows are decoded from the word stream
+     (start = p-4, width oligo_len+8; minus strand complemented and
+     reversed by static-roll selection — bind_oligo.cpp:136-254), per-
+     slot oligo length/strand/thresholds ride as per-entry data and the
+     per-row energy/eval table rows are selected by exact one-hot MXU
+     matmuls; windows clipped by a fragment edge or whose covering words
+     contain any non-ACGT base are routed to the host,
+  5. the exact-integer thermodynamic DP at each screening temperature
+     (conservative keep/discard per window — proof in screen.py) plus
+     the bit-exact gapless eval channel (ops/eval_gapless_jax.eval_flat).
 
 The host then runs the exact native engine only on kept windows; all
 list-building, culling and pairing semantics stay host-side and
@@ -305,6 +305,16 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
     n_real = len(slot_meta)
     wt_max = wq_max + 2 * C.NUM_FLANK_BASE
 
+    # table args may arrive as numpy constants (the constant-folded step
+    # programs, _panel_step) — coerce so fancy indexing traces
+    oligo_words = jnp.asarray(oligo_words)
+    w_table = jnp.asarray(w_table)
+    t_canon = jnp.asarray(t_canon)
+    thresholds = jnp.asarray(thresholds)
+    t_canon_eval = jnp.asarray(t_canon_eval)
+    eval_tabs = jnp.asarray(eval_tabs)
+    eval_loop2m = jnp.asarray(eval_loop2m)
+
     # --- reconstruct fragment codes from the packed payload --------------
     # 2-bit base stream + synthesized padding + N-run mask + scattered
     # exceptions (see DevicePanel._pack_host)
@@ -365,7 +375,6 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
     order_i = order.astype(jnp.int32)
     n_pool = valid.sum().astype(jnp.int32)
 
-    frags_flat = frags.reshape(-1)
 
     nc_all = num_cond + (1 if eval_on else 0)
     tc_all = (jnp.concatenate([t_canon, t_canon_eval[None]], axis=0)
@@ -422,18 +431,49 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
         full_win = (start >= 0) & (start + wt_e <= flen)
         start_c = jnp.clip(start, 0, L - wt_max)
         jj = jnp.arange(wt_max, dtype=jnp.int32)
-        gidx = fi[:, None] * L + start_c[:, None] + jj[None, :]
-        wcod = frags_flat[gidx].astype(jnp.int32)       # (B, wt_max)
-        # minus-strand complement + reversal within the true width
-        rev_idx = jnp.clip(wt_e[:, None] - 1 - jj[None, :], 0, wt_max - 1)
-        wrev = jnp.take_along_axis(wcod, rev_idx, axis=1)
-        melt_m = jnp.where(wrev <= C.DB_MAX_ATGC, 3 - wrev,
-                           jnp.where(wrev == C.DB_I, 4, 99))
-        melt_p = jnp.where(wcod <= C.DB_I, wcod, 99)
-        melt = jnp.where(minus[:, None], melt_m, melt_p)
+
+        # Window codes decoded from the WORD stream: ceil(wt_max/7)
+        # int32 gathers per window instead of wt_max byte gathers (the
+        # element gather is the measured cost here — BASELINE.md round-5
+        # DP bisection).  A window is device-usable only when every
+        # covering word is valid (pure ACGT): windows containing
+        # N/degenerate/inosine target bases are routed to the host,
+        # which is a (slightly wider than before: word validity covers
+        # up to 6 bases past the window) conservative needs_host — the
+        # host evaluates them exactly, output unchanged.
+        n_words_win = -(-wt_max // word_len)
+        base_g = fi * nw_pos
+        wvals = []
+        clean = jnp.ones(B, bool)
+        for kw in range(n_words_win):
+            wpos_raw = start_c + kw * word_len
+            wpos = jnp.clip(wpos_raw, 0, nw_pos - 1)
+            wvals.append(word.reshape(-1)[base_g + wpos])
+            # the clamp must never read a DIFFERENT position's validity:
+            # an out-of-range covering word disqualifies the window
+            wv_k = word_valid.reshape(-1)[base_g + wpos] \
+                & (wpos_raw <= nw_pos - 1)
+            need_k = (kw * word_len) < wt_e
+            clean = clean & (~need_k | wv_k)
+        cols = []
+        for j in range(wt_max):
+            kw, off = divmod(j, word_len)
+            cols.append((wvals[kw] >> (2 * (word_len - 1 - off))) & 3)
+        wcod = jnp.stack(cols, axis=1)                  # (B, wt_max)
+        # minus-strand complement + reversal within the true width:
+        # full flip then one STATIC roll per distinct window width,
+        # selected per entry (no take_along_axis gather)
+        wflip = jnp.flip(3 - wcod, axis=1)
+        wrev = wflip
+        for v in sorted({ol + 2 * C.NUM_FLANK_BASE for ol in ol_np}):
+            if v < wt_max:
+                wrev = jnp.where((wt_e == v)[:, None],
+                                 jnp.roll(wflip, v - wt_max, axis=1),
+                                 wrev)
+        melt = jnp.where(minus[:, None], wrev, wcod)
         col_ok = jj[None, :] < wt_e[:, None]
-        needs_host = (~full_win) | jnp.any((melt > 4) & col_ok, axis=1)
-        tb5 = jnp.where((melt <= 4) & col_ok, melt, 0)
+        needs_host = (~full_win) | ~clean
+        tb5 = jnp.where(col_ok, melt, 0)
 
         # one-hot target-pair operand: exact (one-hot rows select single
         # integer-valued f32 entries; HIGHEST reproduces f32)
@@ -445,9 +485,8 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
         neg1 = jnp.full((nc_all, B, wt_max + 1), -1, jnp.int32)
         negg = jnp.full((B, wt_max + 1), NEG_I32, jnp.int32)
 
-        def row_step(carry, xs):
+        def one_row(carry, ts_row, r_idx):
             prevM, prevIq, prevIt, best, prevMg, mgmax = carry
-            ts_row, r_idx = xs          # ts_row: (n_real, 30, nc'*7)
             rv = r_idx < ql             # (B,) row validity
             mvalid = col_ok & rv[:, None]
             T_eff = jnp.einsum('bs,svk->bvk', oh_s, ts_row,
@@ -501,13 +540,34 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
                 ys = jnp.zeros((B, wt_max + 1), jnp.int32)
             return (newM, newIq, newIt, best, newMg, mgmax), ys
 
+        # UNROLL rows per scan step: halves the sequential step count
+        # (the step is dispatch-bound, BASELINE.md round-5) at identical
+        # semantics; padded rows have rv False everywhere.
+        UNROLL = 2
+        wq_pad = -(-wq_max // UNROLL) * UNROLL
+        TS_rows = jnp.moveaxis(TS, 1, 0)            # (wq_max, n_real, ...)
+        if wq_pad > wq_max:
+            TS_rows = jnp.concatenate(
+                [TS_rows, jnp.zeros((wq_pad - wq_max,) + TS_rows.shape[1:],
+                                    TS_rows.dtype)], axis=0)
+        TS_rows = TS_rows.reshape((wq_pad // UNROLL, UNROLL)
+                                  + TS_rows.shape[1:])
+        r_ids = jnp.arange(wq_pad, dtype=jnp.int32).reshape(-1, UNROLL)
+
+        def row_step(carry, xs):
+            ts_rows, r_idx = xs
+            ys = []
+            for u in range(UNROLL):
+                carry, y = one_row(carry, ts_rows[u], r_idx[u])
+                ys.append(y)
+            return carry, jnp.stack(ys)
+
         init = (neg1, neg1, neg1,
                 jnp.full((nc_all, B), -1, jnp.int32),
                 negg, jnp.full((B,), NEG_I32, jnp.int32))
-        xs = (jnp.moveaxis(TS, 1, 0),
-              jnp.arange(wq_max, dtype=jnp.int32))
         (_, _, _, best, _, mgmax), M_rows = jax.lax.scan(
-            row_step, init, xs)
+            row_step, init, (TS_rows, r_ids))
+        M_rows = M_rows.reshape(wq_pad, B, wt_max + 1)[:wq_max]
 
         keep = jnp.ones(B, dtype=bool)
         for c in range(num_cond):
@@ -610,9 +670,30 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
             valid.reshape(n, cap))
 
 
+# panel-table registry for the constant-folded step programs: digest ->
+# tuple of np arrays (words, word table, energy/eval tables, thresholds).
+# Tables are per-search constants a few MB at most; baking them into the
+# compiled program (instead of passing operands) lets XLA constant-fold
+# the table preparation and fuse the energy selection (measured ~2x on
+# the scan stage, BASELINE.md round 5).
+_PANEL_TABLES = {}
+
+
+def register_panel_tables(args):
+    import hashlib
+    h = hashlib.sha1()
+    for a in args:
+        a = np.asarray(a)
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    digest = h.hexdigest()
+    _PANEL_TABLES.setdefault(digest, tuple(np.asarray(a) for a in args))
+    return digest
+
+
 @functools.lru_cache(maxsize=None)
 def _panel_step(cfg_key, slot_meta, eval_const, n_frags, s_max, k_max,
-                eval_on, full):
+                eval_on, full, tab_digest):
     """Module-level jit cache: the SAME compiled program serves every
     DevicePanel instance with identical static configuration — a fresh
     panel per search (e.g. every bench iteration) must not retrace or
@@ -620,13 +701,21 @@ def _panel_step(cfg_key, slot_meta, eval_const, n_frags, s_max, k_max,
     itself has to be shared)."""
     (word_len, num_os, max_words, wq_max, tile_len, cap, num_cond,
      kcap) = cfg_key
-    return jax.jit(functools.partial(
+    core = functools.partial(
         panel_step_core,
         slot_meta=slot_meta, eval_const=eval_const,
         word_len=word_len, num_os=num_os, max_words=max_words,
         wq_max=wq_max, tile_len=tile_len, cap=cap,
         kcap=kcap, num_cond=num_cond, n_frags=n_frags,
-        s_max=s_max, k_max=k_max, eval_on=eval_on, full=full))
+        s_max=s_max, k_max=k_max, eval_on=eval_on, full=full)
+    tabs = _PANEL_TABLES[tab_digest]
+
+    def stepfn(fp, fl, ns, ne, ep, ec, iov, *_legacy_table_args):
+        # table args are folded as constants; positional operands are
+        # accepted (and ignored) so callers can keep passing dp.args
+        return core(fp, fl, ns, ne, ep, ec, iov, *tabs)
+
+    return jax.jit(stepfn)
 
 
 class DevicePanel:
@@ -712,13 +801,15 @@ class DevicePanel:
                      jnp.asarray(tcan), jnp.asarray(thr),
                      jnp.asarray(tcan_eval), jnp.asarray(ev_tabs),
                      jnp.asarray(ev_loop))
+        self._tab_digest = register_panel_tables(
+            (ow, w_tab, tcan, thr, tcan_eval, ev_tabs, ev_loop))
         self._steps = {}
 
     def _step(self, n_frags, full):
         cfg = self.config
         return _panel_step(cfg.key(), self.slot_meta, self.eval_const,
                            n_frags, self.s_max, self.k_max,
-                           self.eval_on, full)
+                           self.eval_on, full, self._tab_digest)
 
     # host->device payload compression: fragments ride as a 2-bit base
     # stream (4 bases/byte) plus a sideband of N-runs and scattered

@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tntblast_tpu import constants as C
 from tntblast_tpu.parallel.device_search import (
-    DevicePanel, PanelConfig, panel_step_core)
+    _PANEL_TABLES, DevicePanel, PanelConfig, panel_step_core)
 
 
 def make_mesh(devices=None, axis_name="data"):
@@ -51,17 +51,17 @@ def _mesh_cached(devices, axis_name):
 
 
 def build_sharded_step(mesh, cfg: PanelConfig, n_local, slot_meta,
-                       eval_const, s_max, k_max, eval_on,
+                       eval_const, s_max, k_max, eval_on, tab_digest,
                        axis_name="data", full=False):
     return _sharded_step_cached(mesh, cfg.key(), n_local, slot_meta,
                                 eval_const, s_max, k_max, eval_on,
-                                axis_name, full)
+                                tab_digest, axis_name, full)
 
 
 @functools.lru_cache(maxsize=None)
 def _sharded_step_cached(mesh, cfg_key, n_local, slot_meta,
-                         eval_const, s_max, k_max, eval_on, axis_name,
-                         full):
+                         eval_const, s_max, k_max, eval_on, tab_digest,
+                         axis_name, full):
     """jit-compiled SPMD step, shared across MeshPanel instances (jax
     Mesh is hashable): (n_dev * n_local, tile_len) fragments sharded
     over the mesh; each device runs the pooled panel step on its local
@@ -79,11 +79,12 @@ def _sharded_step_cached(mesh, cfg_key, n_local, slot_meta,
         cap=cfg.cap, kcap=cfg.kcap, num_cond=cfg.num_cond,
         n_frags=n_local, s_max=s_max, k_max=k_max,
         eval_on=eval_on, full=full)
+    tabs = _PANEL_TABLES[tab_digest]
 
-    def local_shard(fp, frag_lens, rs, re_, ep, ec, iov,
-                    ow, wtab, tcan, thr, tce, evt, evl):
-        out = step(fp, frag_lens, rs, re_, ep, ec, iov,
-                   ow, wtab, tcan, thr, tce, evt, evl)
+    def local_shard(fp, frag_lens, rs, re_, ep, ec, iov):
+        # panel tables are folded as compile-time constants (replicated
+        # by construction on every device)
+        out = step(fp, frag_lens, rs, re_, ep, ec, iov, *tabs)
         # one collective per output: device blocks stacked in mesh order
         return tuple(jax.lax.all_gather(x, axis_name, axis=0)
                      for x in out)
@@ -91,12 +92,17 @@ def _sharded_step_cached(mesh, cfg_key, n_local, slot_meta,
     n_out = 7
     sharded = jax.shard_map(
         local_shard, mesh=mesh,
-        in_specs=tuple([P(axis_name)] * 7 + [P()] * 7),
+        in_specs=tuple([P(axis_name)] * 7),
         out_specs=tuple(P() for _ in range(n_out)),
         # the DP scan's carry-init constants are unvarying on the data
         # axis by construction; skip the varying-manual-axes check
         check_vma=False)
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def call(fp, frag_lens, rs, re_, ep, ec, iov, *_legacy_table_args):
+        return jitted(fp, frag_lens, rs, re_, ep, ec, iov)
+
+    return call
 
 
 class MeshPanel(DevicePanel):
@@ -137,8 +143,8 @@ class MeshPanel(DevicePanel):
         if step is None:
             step = self._steps[(n_local, full)] = build_sharded_step(
                 self.mesh, cfg, n_local, self.slot_meta, self.eval_const,
-                self.s_max, self.k_max, self.eval_on, self.axis_name,
-                full=full)
+                self.s_max, self.k_max, self.eval_on, self._tab_digest,
+                self.axis_name, full=full)
         payload_d = tuple(jax.device_put(a, self._data_sharding)
                           for a in payload)
         if self._args_d is None:
