@@ -156,3 +156,44 @@ def test_multiproc_per_query_files(tmp_path):
     for name in singles:
         assert filecmp.cmp(single_dir / name, multi_dir / name,
                            shallow=False), name
+
+
+def test_multiproc_partition_balances_skewed_db():
+    """LPT-by-bases partition (VERDICT r4 #5): a database with one large
+    chromosome among many small plasmids must split so the heaviest
+    process carries at most ~ideal + one fragment — and every process
+    must compute the identical assignment."""
+    from tntblast_tpu.parallel.multiproc import partition_items
+
+    # one 50 Mb chromosome fragmented into 100 x 500 kb + 1000 x 10 kb
+    items = [(0, i * 500_000, (i + 1) * 500_000 - 1, 49_999_999)
+             for i in range(100)]
+    items += [(1 + t, 0, 9_999, 9_999) for t in range(1000)]
+    sizes = [stop - start + 1 for (_, start, stop, _) in items]
+    total = sum(sizes)
+    for num_procs in (2, 3, 8):
+        owner = partition_items(items, num_procs)
+        assert owner == partition_items(items, num_procs)  # deterministic
+        loads = [0] * num_procs
+        for o, sz in zip(owner, sizes):
+            loads[o] += sz
+        ideal = total / num_procs
+        assert max(loads) <= ideal + 500_000, (num_procs, loads)
+        # well within the 15%-of-ideal target
+        assert max(loads) / ideal <= 1.15, (num_procs, loads)
+
+    # the old static idx % P shard FAILS when expensive items share a
+    # residue class (e.g. big/small alternating targets): all the big
+    # fragments land on process 0
+    alt = []
+    for i in range(100):
+        alt.append((2 * i, 0, 499_999, 499_999))      # big target
+        alt.append((2 * i + 1, 0, 9_999, 9_999))      # small target
+    alt_sizes = [stop - start + 1 for (_, start, stop, _) in alt]
+    mod0 = sum(alt_sizes[0::2])
+    assert mod0 / (sum(alt_sizes) / 2) > 1.15
+    owner = partition_items(alt, 2)
+    loads = [0, 0]
+    for o, sz in zip(owner, alt_sizes):
+        loads[o] += sz
+    assert max(loads) / (sum(alt_sizes) / 2) <= 1.15, loads
