@@ -249,9 +249,9 @@ class Options:
             elif flag == "--max-poly-degen":
                 self.max_poly_degen = abs(int(arg))
             elif flag == "--tpu-screen":
-                self.tpu_screen = self.parse_bool(arg)
+                self.tpu_screen = self.parse_bool_auto(arg)
             elif flag == "--tpu-frag":
-                self.tpu_frag = self.parse_bool(arg)
+                self.tpu_frag = self.parse_bool_auto(arg)
             elif flag == "--mesh":
                 self.use_mesh = self.parse_bool(arg)
 
@@ -286,6 +286,17 @@ class Options:
             return False
         raise OptionsError(
             'Unknown boolean options -- please use "T" or "F"')
+
+    @staticmethod
+    def parse_bool_auto(opt):
+        """T | F | A(uto): auto enables the device path only when the
+        health probe passes AND the link is fast enough to pay off
+        (devhealth) — the default-on-when-healthy policy of VERDICT r5
+        without regressing host-only or wedged-link runs."""
+        up = opt.upper()
+        if up in ("A", "AUTO"):
+            return "auto"
+        return Options.parse_bool(opt)
 
     @staticmethod
     def parse_strand(opt):
