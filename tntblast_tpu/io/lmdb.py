@@ -180,7 +180,11 @@ class LmdbEnv:
         if root is None:
             raise LmdbError(f"no sub-database {db!r}")
         pgno = root
+        depth = 0
         while pgno != P_INVALID:
+            depth += 1
+            if depth > 64:       # corrupted branch cycles must terminate
+                raise LmdbError("B-tree deeper than 64 levels (corrupt?)")
             _, flags, _ = self._page(pgno)
             nodes = self._nodes(pgno)
             if flags & P_BRANCH:
