@@ -187,7 +187,21 @@ def distributed_main(argv, process_id, num_processes, coordinator,
     # Cross-process collectives on the CPU backend require the gloo
     # transport (must be set before the CPU PJRT client is created; on
     # TPU pods the ICI/DCN fabric provides collectives natively).
+    # NOTE: a sitecustomize that imports jax at interpreter start (the
+    # axon site hook does) creates the client BEFORE this line — the
+    # launcher must then set the variable in the child environment; we
+    # detect that case and fail with a clear message instead of a
+    # size-mismatch deep inside the result gather.
+    preset = "JAX_CPU_COLLECTIVES_IMPLEMENTATION" in os.environ
     os.environ.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
+    import sys as _sys
+    if "jax" in _sys.modules and not preset:
+        print("multiproc: jax was pre-imported (a sitecustomize?) before "
+              "JAX_CPU_COLLECTIVES_IMPLEMENTATION could be set - the CPU "
+              "client may lack cross-process collectives.  Set "
+              "JAX_CPU_COLLECTIVES_IMPLEMENTATION=gloo in the process "
+              "environment at spawn.", file=_sys.stderr)
+        return 1
     import jax
 
     jax.distributed.initialize(coordinator_address=coordinator,

@@ -83,8 +83,11 @@ def build(workdir):
                     rrc = _revcomp(r)
                     g[pos + AMPLEN - len(rrc):pos + AMPLEN] = rrc
             for a in range(4):                 # planted padlock sites:
-                name, up, dn = pads[a]         # down arm directly 5' of
-                site = np.concatenate([dn, up])  # the up arm (gap 0)
+                # query columns are (up_arm, down_arm); the engine's
+                # DOWN arm (col 2) binds first, so the plus-strand site
+                # is up_arm || down_arm with gap 0 (verified small-scale)
+                name, up, dn = pads[a]
+                site = np.concatenate([up, dn])
                 for _ in range(PLANTS_PER_SEQ):
                     pos = int(rng.integers(0, SEQLEN - len(site) - 1))
                     g[pos:pos + len(site)] = site
@@ -159,7 +162,10 @@ def run_mode(mode, fmt, fna, qfile, workdir):
     elif mode == "twoproc":
         env["TNTBLAST_TPU_THREADS"] = "1"
         env.setdefault("JAX_PLATFORMS", "cpu")
-        port = 29517
+        # must be in the env at SPAWN: a sitecustomize (the axon site
+        # hook) imports jax before multiproc's own setdefault runs
+        env["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
+        port = 29517 + (1 if fmt == "PCR" else 2)
         procs = [subprocess.Popen(
             [sys.executable, "-m", "tntblast_tpu.parallel.multiproc",
              "--coordinator", f"127.0.0.1:{port}", "--num-procs", "2",

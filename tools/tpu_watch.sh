@@ -13,6 +13,10 @@ while true; do
       > "bench_work/watch/device_$ts.jsonl" \
       2> "bench_work/watch/device_$ts.err"
     echo "$ts device bench done rc=$?" >> bench_work/watch/watch.log
+    timeout 900 python tools/tpu_pallas_probe.py \
+      > "bench_work/watch/pallas_$ts.jsonl" \
+      2> "bench_work/watch/pallas_$ts.err"
+    echo "$ts pallas probe done rc=$?" >> bench_work/watch/watch.log
     sleep 60
   else
     sleep 110
