@@ -327,3 +327,51 @@ def test_batch_overflow_does_not_corrupt_batchmates(engine):
     np.testing.assert_array_equal(batch[1]["p_k"], alone["p_k"])
     np.testing.assert_array_equal(batch[1]["kmin_k"], alone["kmin_k"])
     np.testing.assert_array_equal(batch[1]["counts"], alone["counts"])
+
+
+def test_pallas_panel_matches_xla_panel(engine, monkeypatch):
+    """The Pallas screen path (TNTBLAST_TPU_PALLAS=1, interpret mode on
+    CPU) must produce the identical resolve output to the XLA chunk
+    path: same kept seeds, kmin, eval words, counts."""
+    monkeypatch.setenv("TNTBLAST_TPU_PALLAS", "1")
+    import tntblast_tpu.parallel.device_search as ds
+
+    rng = np.random.default_rng(41)
+    fwd = "TTGACCTAGATATTCAGCAAC"
+    rev = "GGGAGAGACTCACCCAAAGATC"
+    oligos = [(fwd, True), (fwd, False), (rev, True), (rev, False)]
+    w = 7
+    frag = rng.integers(0, 4, 20000).astype(np.uint8)
+    site = C.ASCII_TO_DB[np.frombuffer(fwd.encode(), np.uint8)]
+    for pos in (3000, 9000, 15000):
+        frag[pos:pos + len(site)] = site
+    frag2 = rng.integers(0, 4, 14000).astype(np.uint8)
+
+    cfg = PanelConfig(word_len=w, num_os=4, max_words=16, wq_max=22,
+                      tile_len=32768, cap=1024, num_cond=1)
+    dg = engine.delta_g().astype(np.int32).reshape(1, -1)
+    # a real screening threshold so keep is non-trivial
+    thr = np.full((1, 4), -120000, dtype=np.int32)
+    ev_dg = np.ascontiguousarray(
+        engine.delta_g().astype(np.int32).reshape(-1))
+    from tntblast_tpu.thermo.santa_lucia import build_tables
+    tables = build_tables()
+
+    pan_p = DevicePanel(_mk_panel(oligos, w), cfg, dg, thr,
+                        eval_dg=ev_dg, thermo_tables=tables)
+    assert pan_p.use_pallas
+    monkeypatch.setenv("TNTBLAST_TPU_PALLAS", "0")
+    pan_x = DevicePanel(_mk_panel(oligos, w), cfg, dg, thr,
+                        eval_dg=ev_dg, thermo_tables=tables)
+    assert not pan_x.use_pallas
+
+    rp = pan_p.resolve_fragments(pan_p.submit_fragments([frag, frag2]))
+    rx = pan_x.resolve_fragments(pan_x.submit_fragments([frag, frag2]))
+    for i in range(2):
+        assert rp[i]["overflow"] == rx[i]["overflow"]
+        assert rp[i]["n_kept"] == rx[i]["n_kept"] > 0
+        np.testing.assert_array_equal(rp[i]["os_k"], rx[i]["os_k"])
+        np.testing.assert_array_equal(rp[i]["p_k"], rx[i]["p_k"])
+        np.testing.assert_array_equal(rp[i]["kmin_k"], rx[i]["kmin_k"])
+        np.testing.assert_array_equal(rp[i]["counts"], rx[i]["counts"])
+        np.testing.assert_array_equal(rp[i]["eval"], rx[i]["eval"])

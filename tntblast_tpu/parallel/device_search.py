@@ -255,7 +255,8 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
                     t_canon_eval, eval_tabs, eval_loop2m,
                     *, slot_meta, eval_const, word_len, num_os, max_words,
                     wq_max, tile_len, cap, kcap, num_cond, n_frags,
-                    s_max=1, k_max=1, eval_on=False, full=False):
+                    s_max=1, k_max=1, eval_on=False, full=False,
+                    use_pallas=False):
     """Device program: seeds + per-slot screening DP for a fragment batch.
 
     frags:       (n_frags, tile_len) uint8 db codes, padded DB_UNKNOWN
@@ -394,53 +395,40 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
     TS = jnp.transpose(TS, (2, 3, 1, 0, 4)).reshape(
         max(n_real, 1), wq_max, 30, nc_all * 7).astype(jnp.float32)
 
-    # --- flat chunked screening DP over the pooled stream ----------------
-    CH = min(SCREEN_CHUNK, Bp)
-    n_chunks = -(-Bp // CH)
-    pad_to = n_chunks * CH
-    if pad_to > Bp:
-        padz = jnp.zeros(pad_to - Bp, jnp.int32)
-        slot_str = jnp.concatenate(
-            [slot_sorted, jnp.full(pad_to - Bp, num_os, jnp.int32)])
-        p_str = jnp.concatenate([p_sorted, padz])
-        frag_str = jnp.concatenate([frag_sorted, padz])
-        order_str = jnp.concatenate([order_i, padz])
-    else:
-        slot_str, p_str, frag_str, order_str = (
-            slot_sorted, p_sorted, frag_sorted, order_i)
-
-    def run_chunk(sl, pp, fi):
-        B = CH
-        ent_valid = sl < num_os
-        # per-entry slot scalars (exact select-chains over the real slots)
+    # --- shared per-entry helpers (chunked XLA path and Pallas path) -----
+    def slot_scalars(sl):
+        """Exact select-chains for the per-entry slot scalars."""
+        B = sl.shape[0]
         ql = jnp.full(B, 1, jnp.int32)
         minus = jnp.zeros(B, bool)
         thr_e = jnp.full((num_cond, B), INT_MIN, jnp.int32)
-        for s in range(n_real):
-            m_s = sl == s
-            ql = jnp.where(m_s, ol_np[s], ql)
-            if minus_np[s]:
+        for s_ in range(n_real):
+            m_s = sl == s_
+            ql = jnp.where(m_s, ol_np[s_], ql)
+            if minus_np[s_]:
                 minus = minus | m_s
-            thr_e = jnp.where(m_s[None, :], thresholds[:, s:s + 1], thr_e)
-        wt_e = ql + 2 * C.NUM_FLANK_BASE
-        oh_s = (sl[:, None] == jnp.arange(max(n_real, 1))[None, :]
-                ).astype(jnp.float32)
+            thr_e = jnp.where(m_s[None, :], thresholds[:, s_:s_ + 1],
+                              thr_e)
+        return ql, minus, ql + 2 * C.NUM_FLANK_BASE, thr_e
 
+    def win_decode(pp, fi, minus, wt_e):
+        """Window codes decoded from the WORD stream: ceil(wt_max/7)
+        int32 gathers per window instead of wt_max byte gathers (the
+        element gather is the measured cost here — BASELINE.md round-5
+        DP bisection).  A window is device-usable only when every
+        covering word is valid (pure ACGT): windows containing
+        N/degenerate/inosine target bases are routed to the host, which
+        is a (slightly wider than the window: word validity covers up
+        to 6 bases past it) conservative needs_host — the host
+        evaluates them exactly, output unchanged.
+
+        Returns (needs_host, tb5, ptb)."""
+        B = pp.shape[0]
         flen = frag_lens[jnp.clip(fi, 0, n - 1)]
         start = pp - C.NUM_FLANK_BASE
         full_win = (start >= 0) & (start + wt_e <= flen)
         start_c = jnp.clip(start, 0, L - wt_max)
         jj = jnp.arange(wt_max, dtype=jnp.int32)
-
-        # Window codes decoded from the WORD stream: ceil(wt_max/7)
-        # int32 gathers per window instead of wt_max byte gathers (the
-        # element gather is the measured cost here — BASELINE.md round-5
-        # DP bisection).  A window is device-usable only when every
-        # covering word is valid (pure ACGT): windows containing
-        # N/degenerate/inosine target bases are routed to the host,
-        # which is a (slightly wider than before: word validity covers
-        # up to 6 bases past the window) conservative needs_host — the
-        # host evaluates them exactly, output unchanged.
         n_words_win = -(-wt_max // word_len)
         base_g = fi * nw_pos
         wvals = []
@@ -474,12 +462,65 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
         col_ok = jj[None, :] < wt_e[:, None]
         needs_host = (~full_win) | ~clean
         tb5 = jnp.where(col_ok, melt, 0)
+        pt6 = jnp.concatenate(
+            [jnp.full((B, 1), 5, jnp.int32), tb5[:, :-1]], axis=1)
+        return needs_host, tb5, pt6 * NUM_T5 + tb5
+
+    def pack_eval(M_rows, mgmax, tb5, sl, ql, wt_e, needs_host,
+                  ent_valid):
+        """Device gapless evaluation + packed word encoding."""
+        B = sl.shape[0]
+        oh_s = (sl[:, None] == jnp.arange(max(n_real, 1))[None, :]
+                ).astype(jnp.float32)
+        qcode = jnp.round(jnp.dot(
+            oh_s, jnp.asarray(qc_np, np.float32),
+            precision=jax.lax.Precision.HIGHEST)).astype(jnp.int32)
+        ev = eval_flat(M_rows, mgmax, tb5, qcode, ql, wt_e, oh_s,
+                       eval_tabs[:max(n_real, 1)],
+                       eval_loop2m[:max(n_real, 1)], eval_const)
+        trusted = ev["trusted"] & ~needs_host & ent_valid
+        w0 = (trusted.astype(jnp.int32)
+              | (ev["tm_zero"].astype(jnp.int32) << 1)
+              | (jnp.clip(ev["num_base"], 0, 255) << 2)
+              | (jnp.clip(ev["mm"], 0, 63) << 10)
+              | (jnp.clip(ev["align_len"], 0, 63) << 16))
+        w1 = ((ev["fm_q"] & 0xFF)
+              | ((ev["fm_t"] & 0xFF) << 8)
+              | ((ev["lm_q"] & 0xFF) << 16)
+              | ((ev["lm_t"] & 0xFF) << 24))
+        w2 = ((ev["anchor5"] & 0xFF)
+              | ((ev["anchor3"] & 0xFF) << 8))
+        w3 = ev["dH"].view(jnp.int32)
+        w4 = ev["dS"].view(jnp.int32)
+        return jnp.stack([w0, w1, w2, w3, w4], axis=1)
+
+    # --- flat chunked screening DP over the pooled stream ----------------
+    CH = min(SCREEN_CHUNK, Bp)
+    n_chunks = -(-Bp // CH)
+    pad_to = n_chunks * CH
+    if pad_to > Bp:
+        padz = jnp.zeros(pad_to - Bp, jnp.int32)
+        slot_str = jnp.concatenate(
+            [slot_sorted, jnp.full(pad_to - Bp, num_os, jnp.int32)])
+        p_str = jnp.concatenate([p_sorted, padz])
+        frag_str = jnp.concatenate([frag_sorted, padz])
+        order_str = jnp.concatenate([order_i, padz])
+    else:
+        slot_str, p_str, frag_str, order_str = (
+            slot_sorted, p_sorted, frag_sorted, order_i)
+
+    def run_chunk(sl, pp, fi):
+        B = CH
+        ent_valid = sl < num_os
+        ql, minus, wt_e, thr_e = slot_scalars(sl)
+        col_ok = (jnp.arange(wt_max, dtype=jnp.int32)[None, :]
+                  < wt_e[:, None])
+        oh_s = (sl[:, None] == jnp.arange(max(n_real, 1))[None, :]
+                ).astype(jnp.float32)
+        needs_host, tb5, ptb = win_decode(pp, fi, minus, wt_e)
 
         # one-hot target-pair operand: exact (one-hot rows select single
         # integer-valued f32 entries; HIGHEST reproduces f32)
-        pt6 = jnp.concatenate(
-            [jnp.full((B, 1), 5, jnp.int32), tb5[:, :-1]], axis=1)
-        ptb = pt6 * NUM_T5 + tb5
         ohp = (ptb[:, :, None]
                == jnp.arange(30)[None, None, :]).astype(jnp.float32)
         neg1 = jnp.full((nc_all, B, wt_max + 1), -1, jnp.int32)
@@ -540,9 +581,8 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
                 ys = jnp.zeros((B, wt_max + 1), jnp.int32)
             return (newM, newIq, newIt, best, newMg, mgmax), ys
 
-        # UNROLL rows per scan step: halves the sequential step count
-        # (the step is dispatch-bound, BASELINE.md round-5) at identical
-        # semantics; padded rows have rv False everywhere.
+        # UNROLL rows per scan step (identical semantics; padded rows
+        # have rv False everywhere)
         UNROLL = 2
         wq_pad = -(-wq_max // UNROLL) * UNROLL
         TS_rows = jnp.moveaxis(TS, 1, 0)            # (wq_max, n_real, ...)
@@ -575,27 +615,8 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
                            | (thr_e[c] == INT_MIN))
 
         if eval_on:
-            qcode = jnp.round(jnp.dot(
-                oh_s, jnp.asarray(qc_np, np.float32),
-                precision=jax.lax.Precision.HIGHEST)).astype(jnp.int32)
-            ev = eval_flat(M_rows, mgmax, tb5, qcode, ql, wt_e, oh_s,
-                           eval_tabs[:max(n_real, 1)],
-                           eval_loop2m[:max(n_real, 1)], eval_const)
-            trusted = ev["trusted"] & ~needs_host & ent_valid
-            w0 = (trusted.astype(jnp.int32)
-                  | (ev["tm_zero"].astype(jnp.int32) << 1)
-                  | (jnp.clip(ev["num_base"], 0, 255) << 2)
-                  | (jnp.clip(ev["mm"], 0, 63) << 10)
-                  | (jnp.clip(ev["align_len"], 0, 63) << 16))
-            w1 = ((ev["fm_q"] & 0xFF)
-                  | ((ev["fm_t"] & 0xFF) << 8)
-                  | ((ev["lm_q"] & 0xFF) << 16)
-                  | ((ev["lm_t"] & 0xFF) << 24))
-            w2 = ((ev["anchor5"] & 0xFF)
-                  | ((ev["anchor3"] & 0xFF) << 8))
-            w3 = ev["dH"].view(jnp.int32)
-            w4 = ev["dS"].view(jnp.int32)
-            evw = jnp.stack([w0, w1, w2, w3, w4], axis=1)
+            evw = pack_eval(M_rows, mgmax, tb5, sl, ql, wt_e,
+                            needs_host, ent_valid)
         else:
             evw = jnp.zeros((B, 5), jnp.int32)
         return ((keep | needs_host) & ent_valid,
@@ -614,13 +635,99 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
 
         return None, jax.lax.cond(active, go, skip, (sl, pp, fi))
 
-    xs_c = (slot_str.reshape(n_chunks, CH), p_str.reshape(n_chunks, CH),
-            frag_str.reshape(n_chunks, CH),
-            jnp.arange(n_chunks, dtype=jnp.int32) * CH)
-    _, (keep_c, nh_c, ev_c) = jax.lax.scan(chunk_step, None, xs_c)
-    keep_all = keep_c.reshape(pad_to)
-    nh_all = nh_c.reshape(pad_to)
-    ev_all = ev_c.reshape(pad_to, 5)
+    if use_pallas and n_real > 0:
+        # --- Pallas path: slot-homogeneous BB-blocks over an ALIGNED
+        # padded stream (ops/pallas_screen.py); the XLA side still does
+        # seeding, window decode and the gapless eval ---------------------
+        from tntblast_tpu.ops import pallas_screen as _ps
+        BBp = _ps.BLOCK
+        cnt = jnp.bincount(key, length=num_os + 1)[:n_real].astype(
+            jnp.int32)
+        seg_start = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)])[:-1]
+        acnt = ((cnt + BBp - 1) // BBp) * BBp
+        astart = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(acnt)])[:-1]
+        bounds = astart + acnt
+        BPC = 64                       # blocks per eval chunk
+        nb0 = -(-(Bp + n_real * BBp) // BBp)
+        n_blocks = -(-nb0 // BPC) * BPC
+        P_pal = n_blocks * BBp
+        ii = jnp.arange(P_pal, dtype=jnp.int32)
+        s_i = jnp.searchsorted(bounds, ii, side='right').astype(jnp.int32)
+        s_c = jnp.clip(s_i, 0, n_real - 1)
+        within = ii - astart[s_c]
+        pvalid = (s_i < n_real) & (within >= 0) & (within < cnt[s_c])
+        src = jnp.clip(seg_start[s_c] + within, 0, pad_to - 1)
+        sl_pal = jnp.where(pvalid, s_c, num_os)
+        pp_pal = jnp.where(pvalid, p_str[src], 0)
+        fi_pal = jnp.where(pvalid, frag_str[src], 0)
+        order_pal = jnp.where(pvalid, order_str[src], 0)
+        ql_e, minus_e, wt_ee, thr_pal = slot_scalars(sl_pal)
+        nh_pal, tb5_pal, ptb_pal = win_decode(pp_pal, fi_pal, minus_e,
+                                              wt_ee)
+        ptb_t = jnp.transpose(
+            ptb_pal.reshape(n_blocks, BBp, wt_max), (0, 2, 1))
+        bst = jnp.arange(n_blocks, dtype=jnp.int32) * BBp
+        sb = jnp.searchsorted(bounds, bst, side='right').astype(jnp.int32)
+        sbc = jnp.clip(sb, 0, n_real - 1)
+        ql_b = jnp.asarray(ol_np, jnp.int32)[sbc]
+        bvalid = (sb < n_real) & ((bst - astart[sbc]) < cnt[sbc])
+        meta = jnp.stack(
+            [sbc, ql_b, ql_b + 2 * C.NUM_FLANK_BASE,
+             bvalid.astype(jnp.int32)], axis=1)
+        TS_int = jnp.round(TS).astype(jnp.int32)
+        best_b, mg_b, mrows_b = _ps.screen_blocks(
+            meta, ptb_t, TS_int, n_real=n_real, wq_max=wq_max,
+            wt_max=wt_max, nc_all=nc_all, eval_on=eval_on, BB=BBp)
+        best_pal = jnp.transpose(best_b, (1, 0, 2)).reshape(
+            nc_all, P_pal)
+        keep_pal = jnp.ones(P_pal, bool)
+        for c in range(num_cond):
+            keep_pal = keep_pal & ((best_pal[c] >= thr_pal[c])
+                                   | (thr_pal[c] == INT_MIN))
+        if eval_on:
+            mg_pal = mg_b.reshape(P_pal)
+            CHP = BPC * BBp
+            ev_parts = []
+            total_aligned = bounds[n_real - 1]
+            for ci in range(n_blocks // BPC):
+                b0 = ci * BPC
+                slc = slice(ci * CHP, (ci + 1) * CHP)
+
+                def go_ev(args, b0=b0, slc=slc):
+                    mr = mrows_b[b0:b0 + BPC]     # (BPC, wq, wt, BB)
+                    mr = jnp.transpose(mr, (1, 0, 3, 2)).reshape(
+                        wq_max, CHP, wt_max)
+                    mr = jnp.concatenate(
+                        [jnp.full((wq_max, CHP, 1), -1, jnp.int32), mr],
+                        axis=2)
+                    return pack_eval(mr, mg_pal[slc], tb5_pal[slc],
+                                     sl_pal[slc], ql_e[slc], wt_ee[slc],
+                                     nh_pal[slc], pvalid[slc])
+
+                def skip_ev(args):
+                    return jnp.zeros((CHP, 5), jnp.int32)
+
+                ev_parts.append(jax.lax.cond(
+                    total_aligned > ci * CHP, go_ev, skip_ev, ()))
+            ev_all = jnp.concatenate(ev_parts, axis=0)
+        else:
+            ev_all = jnp.zeros((P_pal, 5), jnp.int32)
+        keep_all = (keep_pal | nh_pal) & pvalid
+        nh_all = nh_pal & pvalid
+        slot_str, p_str, frag_str, order_str = (sl_pal, pp_pal, fi_pal,
+                                                order_pal)
+        pad_to = P_pal
+    else:
+        xs_c = (slot_str.reshape(n_chunks, CH),
+                p_str.reshape(n_chunks, CH),
+                frag_str.reshape(n_chunks, CH),
+                jnp.arange(n_chunks, dtype=jnp.int32) * CH)
+        _, (keep_c, nh_c, ev_c) = jax.lax.scan(chunk_step, None, xs_c)
+        keep_all = keep_c.reshape(pad_to)
+        nh_all = nh_c.reshape(pad_to)
+        ev_all = ev_c.reshape(pad_to, 5)
 
     # --- kept-seed compaction + kmin recomputation -----------------------
     n_kept = keep_all.sum().astype(jnp.int32)
@@ -693,7 +800,7 @@ def register_panel_tables(args):
 
 @functools.lru_cache(maxsize=None)
 def _panel_step(cfg_key, slot_meta, eval_const, n_frags, s_max, k_max,
-                eval_on, full, tab_digest):
+                eval_on, full, tab_digest, use_pallas=False):
     """Module-level jit cache: the SAME compiled program serves every
     DevicePanel instance with identical static configuration — a fresh
     panel per search (e.g. every bench iteration) must not retrace or
@@ -707,7 +814,8 @@ def _panel_step(cfg_key, slot_meta, eval_const, n_frags, s_max, k_max,
         word_len=word_len, num_os=num_os, max_words=max_words,
         wq_max=wq_max, tile_len=tile_len, cap=cap,
         kcap=kcap, num_cond=num_cond, n_frags=n_frags,
-        s_max=s_max, k_max=k_max, eval_on=eval_on, full=full)
+        s_max=s_max, k_max=k_max, eval_on=eval_on, full=full,
+        use_pallas=use_pallas)
     tabs = _PANEL_TABLES[tab_digest]
 
     def stepfn(fp, fl, ns, ne, ep, ec, iov, *_legacy_table_args):
@@ -803,13 +911,21 @@ class DevicePanel:
                      jnp.asarray(ev_loop))
         self._tab_digest = register_panel_tables(
             (ow, w_tab, tcan, thr, tcan_eval, ev_tabs, ev_loop))
+        # Pallas screen kernel (ops/pallas_screen.py): opt-in while its
+        # on-chip profile is being established; interpret-mode parity is
+        # asserted by tests/test_pallas_screen.py + the panel equality
+        # test either way.
+        import os as _os
+        self.use_pallas = (_os.environ.get("TNTBLAST_TPU_PALLAS", "0")
+                           == "1" and self.n_real > 0)
         self._steps = {}
 
     def _step(self, n_frags, full):
         cfg = self.config
         return _panel_step(cfg.key(), self.slot_meta, self.eval_const,
                            n_frags, self.s_max, self.k_max,
-                           self.eval_on, full, self._tab_digest)
+                           self.eval_on, full, self._tab_digest,
+                           use_pallas=self.use_pallas)
 
     # host->device payload compression: fragments ride as a 2-bit base
     # stream (4 bases/byte) plus a sideband of N-runs and scattered

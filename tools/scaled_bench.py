@@ -161,10 +161,13 @@ def run_mode(mode, fmt, fna, qfile, workdir):
             stderr=subprocess.DEVNULL)
     elif mode == "twoproc":
         env["TNTBLAST_TPU_THREADS"] = "1"
-        env.setdefault("JAX_PLATFORMS", "cpu")
+        env["JAX_PLATFORMS"] = "cpu"     # override any session axon pin
         # must be in the env at SPAWN: a sitecustomize (the axon site
-        # hook) imports jax before multiproc's own setdefault runs
+        # hook) imports jax before multiproc's own setdefault runs —
+        # and the hook also pins the axon platform, so it must not load
+        # at all for CPU ranks (drop it from PYTHONPATH)
         env["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
+        env["PYTHONPATH"] = HERE
         port = 29517 + (1 if fmt == "PCR" else 2)
         procs = [subprocess.Popen(
             [sys.executable, "-m", "tntblast_tpu.parallel.multiproc",
