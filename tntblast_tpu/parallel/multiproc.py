@@ -251,11 +251,19 @@ def distributed_main(argv, process_id, num_processes, coordinator,
             opt, n_threads=int(os.environ.get("TNTBLAST_TPU_THREADS", 0))
             or None)
 
+        t_search0 = time.time()
         payload, fragment_target = _search_shard(
             opt, db, melt, process_id, num_processes)
+        t_search = time.time() - t_search0
 
         # ---- result gather (SIGNATURE_RESULTS / synchronize_keys) ----
+        t_g0 = time.time()
         shards = _gather_blobs(payload, num_processes)
+        if os.environ.get("TNTBLAST_TPU_PROFILE"):
+            print(f"rank {process_id}: setup "
+                  f"{t_search0 - profile:.1f}s search {t_search:.1f}s "
+                  f"gather {time.time() - t_g0:.1f}s",
+                  file=sys.stderr)
         if not is_root:
             return 0
 
