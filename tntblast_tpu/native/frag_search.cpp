@@ -698,13 +698,24 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
     // the full DP + traceback + exact re-scoring.  This inverts the
     // reference's evaluate-everything control flow (bind_oligo.cpp:261-362)
     // into screen-then-evaluate — the SURVEY §7.3 design — on the host.
-    static const bool host_screen_on = []() {
+    // 0 = always off, 1 = always on, 2 (default, unset) = adaptive:
+    // disable once the measured prune rate shows the screen costs more
+    // than the evaluations it saves (Engine::screen_disabled).
+    static const int host_screen_mode = []() {
         const char* e = getenv("TNTBLAST_TPU_HOST_SCREEN");
-        return !(e && e[0] == '0');
+        if (e && e[0] == '0') return 0;
+        if (e && e[0] == '1') return 1;
+        return 2;
     }();
+    bool do_host_screen = host_screen_mode != 0 && !device_prescreened
+                          && !misses.empty();
+    if (host_screen_mode == 2
+            && ctx.eng->screen_disabled.load(std::memory_order_relaxed))
+        do_host_screen = false;
     // Skip when the seed list was already device-prescreened under the
     // identical conditions: re-screening kept windows can drop nothing.
-    if (host_screen_on && !device_prescreened && !misses.empty()) {
+    const int64_t scr_cyc0 = ctx.t_screen;
+    if (do_host_screen) {
         PhaseTimer pt_screen(&ctx.t_screen);
         struct Cond { float T; Score ms; uint8_t flag; };  // 1=tm, 2=dg
         Cond conds[2];
@@ -811,11 +822,36 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
                                        misses[k].key.stop}, std::move(v));
                 ++ctx.screened;
             }
+            const long long tested = (long long)misses.size();
+            const long long pruned = tested - (long long)kept.size();
             misses.swap(kept);
+            const Engine& eng_s = *ctx.eng;
+            const long long tot = tested + eng_s.screen_tested.fetch_add(
+                tested, std::memory_order_relaxed);
+            const long long pr = pruned + eng_s.screen_pruned.fetch_add(
+                pruned, std::memory_order_relaxed);
+            const long long sc = (ctx.t_screen - scr_cyc0)
+                + eng_s.screen_cycles.fetch_add(
+                    ctx.t_screen - scr_cyc0, std::memory_order_relaxed);
+            // Measured break-even (the decision only moves work, never
+            // output): screening pays iff its cost per tested window is
+            // below the full-evaluation cost it saves, i.e.
+            //   sc/tot < (eval_cycles/eval_windows) * (pr/tot)
+            // Decide after a 50k-window sample of BOTH sides.
+            const long long ew = eng_s.eval_windows.load(
+                std::memory_order_relaxed);
+            const long long ec = eng_s.eval_cycles.load(
+                std::memory_order_relaxed);
+            if (host_screen_mode == 2 && tot >= 50000 && ew >= 20000
+                    && (double)sc * (double)ew > (double)ec * (double)pr)
+                eng_s.screen_disabled.store(true,
+                                            std::memory_order_relaxed);
         }
     }
 
     ctx.evaluated += (int64_t)misses.size();
+    const int64_t eval_cyc0 = ctx.t_dp + ctx.t_tm;
+    const int64_t eval_n0 = (int64_t)misses.size();
 
     if (!misses.empty()) {
         st.set_query(oligo->data(), (int)oligo->size());
@@ -890,6 +926,16 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
             const float tm = approximate_tm_heterodimer(st);
             store_result(mi.key, tm);
         }
+    }
+
+    if (eval_n0 > 0) {
+        // feed the adaptive host-screen break-even with the measured
+        // full-evaluation cost per window (Engine::screen_disabled)
+        ctx.eng->eval_windows.fetch_add(eval_n0,
+                                        std::memory_order_relaxed);
+        ctx.eng->eval_cycles.fetch_add(
+            (ctx.t_dp + ctx.t_tm) - eval_cyc0,
+            std::memory_order_relaxed);
     }
 
     // Survivor pass (filter cascade against cached values)

@@ -28,6 +28,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
+#include <atomic>
 #include <cmath>
 #include <string>
 #include <vector>
@@ -274,6 +275,18 @@ struct Engine {
     // constructive screening slack (screen_bound.slack_bound, set from
     // Python after engine creation; 1.0 is a safe over-bound default)
     float screen_slack = 1.0f;
+    // Adaptive host-screen statistics (frag_search.cpp): the score-only
+    // screening DP at two conditions costs ~0.74x of the full
+    // evaluation it can save, so it only pays above a ~70% prune rate.
+    // Once a meaningful sample shows the rate below that, the screen is
+    // disabled for this engine's remaining lifetime — output-invariant
+    // either way (the screen only ever skips work, never changes it).
+    mutable std::atomic<long long> screen_tested{0};
+    mutable std::atomic<long long> screen_pruned{0};
+    mutable std::atomic<long long> screen_cycles{0};
+    mutable std::atomic<long long> eval_windows{0};
+    mutable std::atomic<long long> eval_cycles{0};
+    mutable std::atomic<bool> screen_disabled{false};
     std::vector<MeltState*> states;  // per worker thread
 
     ~Engine() { for (auto* s : states) delete s; }
