@@ -837,12 +837,12 @@ static void bind_oligo(FragCtx& ctx, OligoVec& info_list,
             // output): screening pays iff its cost per tested window is
             // below the full-evaluation cost it saves, i.e.
             //   sc/tot < (eval_cycles/eval_windows) * (pr/tot)
-            // Decide after a 50k-window sample of BOTH sides.
+            // Decide after a 24k/8k-window sample of both sides.
             const long long ew = eng_s.eval_windows.load(
                 std::memory_order_relaxed);
             const long long ec = eng_s.eval_cycles.load(
                 std::memory_order_relaxed);
-            if (host_screen_mode == 2 && tot >= 50000 && ew >= 20000
+            if (host_screen_mode == 2 && tot >= 24000 && ew >= 8000
                     && (double)sc * (double)ew > (double)ec * (double)pr)
                 eng_s.screen_disabled.store(true,
                                             std::memory_order_relaxed);
