@@ -36,6 +36,16 @@ import statistics
 import sys
 import time
 
+# The axon (tunneled-TPU) PJRT client runs background RPC machinery that
+# costs ~45% of HOST-path throughput when initialized in-process
+# (measured 9.0 vs 16.5 Mb/s, spread 0.03 s).  Pinning the platform env
+# before any jax import keeps the host measurement clean; the device
+# probe and the --tpu-screen path still reach the chip (the site hook
+# registers the axon backend regardless — measured identical micro/e2e
+# numbers under the pin).  FORCED, not setdefault: the driver's
+# environment carries JAX_PLATFORMS=axon.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import bench_data
