@@ -292,3 +292,48 @@ def test_screened_threaded_matches_golden(name, tmp_path, monkeypatch):
     got = out_file.read_text() if out_file.exists() else ""
     want = (GOLD / f"{name}.out").read_text()
     assert got == want, f"threaded screened output differs for {name}"
+
+
+def test_adaptive_host_screen_output_invariant(tmp_path, monkeypatch):
+    """The adaptive host-screen gate (native frag_search: disable once
+    measured cycle rates show the screen net-negative) must reach its
+    decision sample on a multi-Mb database and produce output identical
+    to forced-on and forced-off — the decision only moves work."""
+    import random
+    import subprocess
+    import sys as _sys
+
+    rng = random.Random(9)
+    db = tmp_path / "big.fna"
+    with open(db, "w") as fh:
+        fwd = "TTGACCTAGATATTCAGCAAC"
+        rev = "GGGAGAGACTCACCCAAAGATC"
+        rc_map = {"A": "T", "C": "G", "G": "C", "T": "A"}
+        rev_rc = "".join(rc_map[c] for c in reversed(rev))
+        filler = "".join(rng.choice("ACGT") for _ in range(80))
+        site = fwd + filler + rev_rc                # a full amplicon
+        seq = list("".join(rng.choice("ACGT") for _ in range(3_000_000)))
+        for pos in range(50_000, 2_900_000, 120_000):
+            seq[pos:pos + len(site)] = site
+        fh.write(">big\n" + "".join(seq) + "\n")
+
+    outs = {}
+    for hs in ("adaptive", "1", "0"):
+        env = dict(__import__("os").environ)
+        env.update({"TNTBLAST_TPU_THREADS": "2", "JAX_PLATFORMS": "cpu",
+                    "PYTHONPATH": str(HERE.parent)})
+        if hs == "adaptive":
+            env.pop("TNTBLAST_TPU_HOST_SCREEN", None)
+        else:
+            env["TNTBLAST_TPU_HOST_SCREEN"] = hs
+        out = tmp_path / f"o{hs}.out"
+        rc = subprocess.call(
+            [_sys.executable, "-m", "tntblast_tpu", "-i",
+             str(DATA / "assay_pcr.txt"), "-d", str(db), "-A", "PCR",
+             "-e", "40", "-E", "40", "-o", str(out), "-v", "F"],
+            env=env, cwd=DATA, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL)
+        assert rc == 0, hs
+        outs[hs] = out.read_text()
+    assert outs["adaptive"] == outs["1"] == outs["0"]
+    assert outs["adaptive"].strip(), "expected hits from planted sites"
