@@ -329,11 +329,13 @@ def test_batch_overflow_does_not_corrupt_batchmates(engine):
     np.testing.assert_array_equal(batch[1]["counts"], alone["counts"])
 
 
-def test_pallas_panel_matches_xla_panel(engine, monkeypatch):
-    """The Pallas screen path (TNTBLAST_TPU_PALLAS=1, interpret mode on
-    CPU) must produce the identical resolve output to the XLA chunk
-    path: same kept seeds, kmin, eval words, counts."""
-    monkeypatch.setenv("TNTBLAST_TPU_PALLAS", "1")
+@pytest.mark.parametrize("impl", ["aligned", "pallas"])
+def test_pallas_panel_matches_xla_panel(engine, monkeypatch, impl):
+    """Every non-default screen implementation (the aligned per-block
+    GEMM form and the Pallas kernel, interpret mode on CPU) must produce
+    the identical resolve output to the default flat chunk path: same
+    kept seeds, kmin, eval words, counts."""
+    monkeypatch.setenv("TNTBLAST_TPU_SCREEN_IMPL", impl)
     import tntblast_tpu.parallel.device_search as ds
 
     rng = np.random.default_rng(41)
@@ -359,11 +361,11 @@ def test_pallas_panel_matches_xla_panel(engine, monkeypatch):
 
     pan_p = DevicePanel(_mk_panel(oligos, w), cfg, dg, thr,
                         eval_dg=ev_dg, thermo_tables=tables)
-    assert pan_p.use_pallas
-    monkeypatch.setenv("TNTBLAST_TPU_PALLAS", "0")
+    assert pan_p.screen_impl == impl
+    monkeypatch.setenv("TNTBLAST_TPU_SCREEN_IMPL", "flat")
     pan_x = DevicePanel(_mk_panel(oligos, w), cfg, dg, thr,
                         eval_dg=ev_dg, thermo_tables=tables)
-    assert not pan_x.use_pallas
+    assert pan_x.screen_impl == "flat"
 
     rp = pan_p.resolve_fragments(pan_p.submit_fragments([frag, frag2]))
     rx = pan_x.resolve_fragments(pan_x.submit_fragments([frag, frag2]))

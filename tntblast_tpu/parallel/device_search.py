@@ -250,13 +250,128 @@ def _seed_fragment(frag_codes, frag_len, oligo_words, w_table, *,
 
 
 
+def _screen_blocks_xla(meta, ptb_t, ts_int, *, wq_max, wt_max, nc_all,
+                       eval_on, BB, BPC):
+    """XLA twin of ops/pallas_screen.screen_blocks over the same
+    slot-homogeneous aligned layout: per BPC-block chunk, ONE well-shaped
+    one-hot MXU GEMM (batch=BPC, M=wt*BB, K=30, N=wq*nc*7) materializes
+    every row's exact integer energies at once, and the row scan body is
+    pure elementwise — no batched-tiny einsums, no per-row table work.
+
+    Returns (best (n_blocks, nc_all, BB), mg (n_blocks, BB),
+    M_rows (n_blocks, wq_max, wt_max, BB)); junk rows (r >= ql) of
+    M_rows repeat the last computed row, same contract as the kernel.
+    """
+    n_blocks = meta.shape[0]
+    n_chunks = n_blocks // BPC
+    n_real = ts_int.shape[0]
+    hi_p = jax.lax.Precision.HIGHEST
+
+    meta_c = meta.reshape(n_chunks, BPC, 4)
+    ptb_c = ptb_t.reshape(n_chunks, BPC, wt_max, BB)
+
+    def shiftw(x, fill):
+        """x at column j-1 along the wt axis (axis=-2), `fill` at j=0."""
+        head = jnp.full(x.shape[:-2] + (1, x.shape[-1]), fill, x.dtype)
+        return jnp.concatenate([head, x[..., :-1, :]], axis=-2)
+
+    def run_chunk_blocks(meta_b, ptb_b):
+        sb = meta_b[:, 0]
+        ql_b = meta_b[:, 1]
+        wt_b = meta_b[:, 2]
+        valid_b = meta_b[:, 3] == 1
+        TSb = ts_int[jnp.clip(sb, 0, n_real - 1)]   # (BPC, wq, 30, nc7)
+        oh = (ptb_b[..., None]
+              == jnp.arange(30)[None, None, None, :]).astype(jnp.float32)
+        ohm = oh.reshape(BPC, wt_max * BB, 30)
+        TSm = jnp.transpose(TSb, (0, 2, 1, 3)).reshape(
+            BPC, 30, wq_max * nc_all * 7).astype(jnp.float32)
+        er = jnp.einsum('cxv,cvn->cxn', ohm, TSm, precision=hi_p,
+                        preferred_element_type=jnp.float32)
+        E = jnp.round(er).astype(jnp.int32).reshape(
+            BPC, wt_max, BB, wq_max, nc_all, 7)
+        # (wq, nc, BPC, wt, BB, 7): one physical transpose per chunk
+        E = jnp.transpose(E, (3, 4, 0, 1, 2, 5))
+
+        col_ok = (jnp.arange(wt_max)[None, :, None]
+                  < wt_b[:, None, None])              # (BPC, wt, BB)
+        neg1 = jnp.full((nc_all, BPC, wt_max, BB), -1, jnp.int32)
+        negg = jnp.full((BPC, wt_max, BB), NEG_I32, jnp.int32)
+
+        def row_step(carry, xs):
+            prevM, prevIq, prevIt, best, prevMg, mgmax = carry
+            e_r, r_idx = xs           # e_r: (nc, BPC, wt, BB, 7)
+            rv = r_idx < ql_b         # (BPC,)
+            dgmm, dgmq, dgmt = e_r[..., 0], e_r[..., 1], e_r[..., 2]
+            dgqi, dgqe = e_r[..., 3], e_r[..., 4]
+            dgti, dgte = e_r[..., 5], e_r[..., 6]
+            pM = shiftw(prevM, -1)
+            pIq = shiftw(prevIq, -1)
+            pIt = shiftw(prevIt, -1)
+            m = jnp.maximum(
+                jnp.maximum(_relu(pM) - dgmm, _relu(pIq) - dgmq),
+                _relu(pIt) - dgmt)
+            it = jnp.maximum(_relu(prevM) - dgti, _relu(prevIt) - dgte)
+            m_shift = shiftw(m, -1)
+            a = jnp.maximum(_relu(m_shift) - dgqi, -dgqe)
+            ssum = jnp.cumsum(dgqe, axis=2)
+            iq = jax.lax.cummax(a + ssum, axis=2) - ssum
+            rbest = jnp.max(jnp.where(col_ok[None], m, -1), axis=2)
+            best = jnp.where(rv[None, :, None],
+                             jnp.maximum(best, rbest), best)
+            if eval_on:
+                pMg = shiftw(prevMg, NEG_I32)
+                g1 = jnp.where(pMg >= 0, pMg - dgmm[-1], NEG_I32)
+                mg = jnp.maximum(
+                    jnp.maximum(g1, _relu(pIq[-1]) - dgmq[-1]),
+                    _relu(pIt[-1]) - dgmt[-1])
+                rmg = jnp.max(jnp.where(col_ok, mg, NEG_I32), axis=1)
+                mgmax = jnp.where(rv[:, None],
+                                  jnp.maximum(mgmax, rmg), mgmax)
+                prevMg = mg
+                ys = m[-1]            # (BPC, wt, BB)
+            else:
+                ys = m[0]
+            return (m, iq, it, best, prevMg, mgmax), ys
+
+        init = (neg1, neg1, neg1,
+                jnp.full((nc_all, BPC, BB), -1, jnp.int32),
+                negg, jnp.full((BPC, BB), NEG_I32, jnp.int32))
+        (_, _, _, best, _, mgmax), M_rows = jax.lax.scan(
+            row_step, init, (E, jnp.arange(wq_max, dtype=jnp.int32)))
+        best = jnp.where(valid_b[None, :, None], best, -1)
+        mgmax = jnp.where(valid_b[:, None], mgmax, NEG_I32)
+        return (jnp.transpose(best, (1, 0, 2)), mgmax,
+                jnp.transpose(M_rows, (1, 0, 2, 3)))
+
+    def chunk_step(_, xs):
+        meta_b, ptb_b = xs
+        active = jnp.any(meta_b[:, 3] == 1)
+
+        def go(args):
+            return run_chunk_blocks(*args)
+
+        def skip(args):
+            return (jnp.full((BPC, nc_all, BB), -1, jnp.int32),
+                    jnp.full((BPC, BB), NEG_I32, jnp.int32),
+                    jnp.full((BPC, wq_max, wt_max, BB), -1, jnp.int32))
+
+        return None, jax.lax.cond(active, go, skip, (meta_b, ptb_b))
+
+    _, (best_c, mg_c, mrows_c) = jax.lax.scan(
+        chunk_step, None, (meta_c, ptb_c))
+    return (best_c.reshape(n_blocks, nc_all, BB),
+            mg_c.reshape(n_blocks, BB),
+            mrows_c.reshape(n_blocks, wq_max, wt_max, BB))
+
+
 def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
                     input_over, oligo_words, w_table, t_canon, thresholds,
                     t_canon_eval, eval_tabs, eval_loop2m,
                     *, slot_meta, eval_const, word_len, num_os, max_words,
                     wq_max, tile_len, cap, kcap, num_cond, n_frags,
                     s_max=1, k_max=1, eval_on=False, full=False,
-                    use_pallas=False):
+                    screen_impl="flat"):
     """Device program: seeds + per-slot screening DP for a fragment batch.
 
     frags:       (n_frags, tile_len) uint8 db codes, padded DB_UNKNOWN
@@ -635,10 +750,12 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
 
         return None, jax.lax.cond(active, go, skip, (sl, pp, fi))
 
-    if use_pallas and n_real > 0:
-        # --- Pallas path: slot-homogeneous BB-blocks over an ALIGNED
-        # padded stream (ops/pallas_screen.py); the XLA side still does
-        # seeding, window decode and the gapless eval ---------------------
+    if screen_impl != "flat" and n_real > 0:
+        # --- ALIGNED path: slot-homogeneous BB-blocks over a padded
+        # stream; the screen DP runs either as the Pallas kernel
+        # (ops/pallas_screen.py) or as the XLA per-block-GEMM form
+        # (_screen_blocks_xla below); the XLA side does seeding, window
+        # decode and the gapless eval in both cases -----------------------
         from tntblast_tpu.ops import pallas_screen as _ps
         BBp = _ps.BLOCK
         cnt = jnp.bincount(key, length=num_os + 1)[:n_real].astype(
@@ -677,9 +794,14 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
             [sbc, ql_b, ql_b + 2 * C.NUM_FLANK_BASE,
              bvalid.astype(jnp.int32)], axis=1)
         TS_int = jnp.round(TS).astype(jnp.int32)
-        best_b, mg_b, mrows_b = _ps.screen_blocks(
-            meta, ptb_t, TS_int, n_real=n_real, wq_max=wq_max,
-            wt_max=wt_max, nc_all=nc_all, eval_on=eval_on, BB=BBp)
+        if screen_impl == "pallas":
+            best_b, mg_b, mrows_b = _ps.screen_blocks(
+                meta, ptb_t, TS_int, n_real=n_real, wq_max=wq_max,
+                wt_max=wt_max, nc_all=nc_all, eval_on=eval_on, BB=BBp)
+        else:
+            best_b, mg_b, mrows_b = _screen_blocks_xla(
+                meta, ptb_t, TS_int, wq_max=wq_max, wt_max=wt_max,
+                nc_all=nc_all, eval_on=eval_on, BB=BBp, BPC=BPC)
         best_pal = jnp.transpose(best_b, (1, 0, 2)).reshape(
             nc_all, P_pal)
         keep_pal = jnp.ones(P_pal, bool)
@@ -800,7 +922,7 @@ def register_panel_tables(args):
 
 @functools.lru_cache(maxsize=None)
 def _panel_step(cfg_key, slot_meta, eval_const, n_frags, s_max, k_max,
-                eval_on, full, tab_digest, use_pallas=False):
+                eval_on, full, tab_digest, screen_impl="flat"):
     """Module-level jit cache: the SAME compiled program serves every
     DevicePanel instance with identical static configuration — a fresh
     panel per search (e.g. every bench iteration) must not retrace or
@@ -815,7 +937,7 @@ def _panel_step(cfg_key, slot_meta, eval_const, n_frags, s_max, k_max,
         wq_max=wq_max, tile_len=tile_len, cap=cap,
         kcap=kcap, num_cond=num_cond, n_frags=n_frags,
         s_max=s_max, k_max=k_max, eval_on=eval_on, full=full,
-        use_pallas=use_pallas)
+        screen_impl=screen_impl)
     tabs = _PANEL_TABLES[tab_digest]
 
     def stepfn(fp, fl, ns, ne, ep, ec, iov, *_legacy_table_args):
@@ -911,13 +1033,18 @@ class DevicePanel:
                      jnp.asarray(ev_loop))
         self._tab_digest = register_panel_tables(
             (ow, w_tab, tcan, thr, tcan_eval, ev_tabs, ev_loop))
-        # Pallas screen kernel (ops/pallas_screen.py): opt-in while its
-        # on-chip profile is being established; interpret-mode parity is
-        # asserted by tests/test_pallas_screen.py + the panel equality
-        # test either way.
+        # Screen implementation: "flat" (default; chunked scan over the
+        # sorted stream), "aligned" (slot-homogeneous blocks + per-block
+        # MXU GEMMs, _screen_blocks_xla), "pallas" (ops/pallas_screen).
+        # All three are bit-identical by test; the non-default forms are
+        # opt-in while their on-chip profiles are being established.
         import os as _os
-        self.use_pallas = (_os.environ.get("TNTBLAST_TPU_PALLAS", "0")
-                           == "1" and self.n_real > 0)
+        impl = _os.environ.get("TNTBLAST_TPU_SCREEN_IMPL", "")
+        if not impl:
+            impl = ("pallas"
+                    if _os.environ.get("TNTBLAST_TPU_PALLAS", "0") == "1"
+                    else "flat")
+        self.screen_impl = impl if self.n_real > 0 else "flat"
         self._steps = {}
 
     def _step(self, n_frags, full):
@@ -925,7 +1052,7 @@ class DevicePanel:
         return _panel_step(cfg.key(), self.slot_meta, self.eval_const,
                            n_frags, self.s_max, self.k_max,
                            self.eval_on, full, self._tab_digest,
-                           use_pallas=self.use_pallas)
+                           screen_impl=self.screen_impl)
 
     # host->device payload compression: fragments ride as a 2-bit base
     # stream (4 bases/byte) plus a sideband of N-runs and scattered
