@@ -766,7 +766,7 @@ def panel_step_core(frags_packed, frag_lens, nrun_s, nrun_e, exc_p, exc_c,
         astart = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(acnt)])[:-1]
         bounds = astart + acnt
-        BPC = 64                       # blocks per eval chunk
+        BPC = 32                       # blocks per eval chunk
         nb0 = -(-(Bp + n_real * BBp) // BBp)
         n_blocks = -(-nb0 // BPC) * BPC
         P_pal = n_blocks * BBp
